@@ -1,0 +1,80 @@
+"""Headline benchmark: reads/s through k-mer count + level-0 DBG build.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md) and
+its KMC binary is stripped from the repo, so the 4-thread C baseline is
+estimated at 250,000 reads/s (KMC2-class counters sustain ~1-4 M
+(k+1)-mers/s/thread on 150 bp reads incl. graph build overhead;
+250 k reads/s * ~105 kmers/read / 4 threads ≈ 6.6 M kmers/s/thread is a
+generous ceiling for the C pipeline).  vs_baseline = value / 250000.
+
+Workload: synthetic 2 Mbp genome, 150 bp error-free reads at ~38x,
+k = 45 (the reference's default k0, src/main.c:141), full path:
+host batch -> device canonical (k+1)-mer extraction -> device sort +
+run-length count -> host merge of per-batch runs -> level-0 unitig graph.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.graph.build import build_graph_from_kedges
+    from turingassembler_tpu.kmer import count as kc
+
+    k = 45
+    read_len = 150
+    batch = 65536
+    n_batches = 8
+    genome_size = 2_000_000
+
+    log(f"devices: {jax.devices()}")
+    genome = tt.random_genome(genome_size, seed=0)
+    n_reads = batch * n_batches
+    # pad length +2 so shapes differ from test shapes (cache separation)
+    reads, lengths = tt.sim_reads(
+        genome, coverage=n_reads * read_len / genome_size,
+        read_len=read_len, seed=1, pad_to=read_len + 2)
+    reads, lengths = reads[:n_reads], lengths[:n_reads]
+    log(f"reads: {reads.shape}")
+
+    # warmup/compile on the first batch
+    t0 = time.time()
+    kc.count_kedges_from_reads(reads[:batch], lengths[:batch], k, batch_size=batch)
+    log(f"compile+warmup: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    kedges, counts = kc.count_kedges_from_reads(reads, lengths, k, batch_size=batch)
+    t_count = time.time() - t0
+    log(f"count: {t_count:.2f}s  ({len(kedges):,} unique (k+1)-mers)")
+
+    t0 = time.time()
+    g = build_graph_from_kedges(kedges, counts, k)
+    t_build = time.time() - t0
+    log(f"graph build: {t_build:.2f}s  (n_v={g.n_v}, n_e={g.n_e})")
+
+    total = t_count + t_build
+    value = n_reads / total
+    baseline = 250_000.0
+    print(json.dumps({
+        "metric": "reads/s (k45 count + level-0 DBG build, 150bp reads, 1 chip)",
+        "value": round(value, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

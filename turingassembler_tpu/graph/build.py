@@ -1,0 +1,221 @@
+"""De Bruijn graph construction from counted canonical (k+1)-mers.
+
+Replaces the reference's kmhash-based build (src/kmer_build.c:78-649):
+
+  reference                               | here
+  ----------------------------------------+------------------------------
+  kmhash CAS-insert of k-mers, adjacency  | sorted unique node-key table,
+  nibbles via atomic OR                   | adjacency bits via scatter-OR
+  per-thread unitig walkers following     | "next" pointers between
+  (1,1) nodes (build_graph_worker :421)   | directed k-edges + pointer
+                                          | doubling (log-step, data-par)
+  RC edge pairing by sequence re-check    | rc pairing by construction
+  (:624-641)                              | (directed k-edge involution)
+
+Every (k+1)-mer ("k-edge") connects its prefix k-mer to its suffix
+k-mer.  A *directed k-mer* is (canonical node id, orient) with orient 0
+if the string equals the canonical form.  A *directed k-edge* is one of
+the two orientations of a canonical k-edge: ids [0, n) = canonical
+orientation, [n, 2n) = reverse complement.  Unitigs are maximal chains
+of directed k-edges through (in=1, out=1) interior k-mers; they come in
+RC pairs exactly like the reference's edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import limbs as lb
+from .structs import AsmGraph
+
+
+def _void_view(a: np.ndarray) -> np.ndarray:
+    """Row-wise void view for multi-column searchsorted/unique."""
+    a = np.ascontiguousarray(a)
+    return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
+
+def _pointer_double_to_head(prev: np.ndarray):
+    """Given functional `prev` pointers (-1 = head), return (head index,
+    distance) for every element, breaking cycles at their min element.
+
+    This is the parallel-friendly formulation of the reference's
+    sequential unitig walk (src/kmer_build.c:469-492): O(log n) gather
+    rounds instead of a pointer chase.
+    """
+    n = len(prev)
+    idx = np.arange(n, dtype=np.int64)
+    for _round in range(3):  # at most 2 rounds needed (cycles then done)
+        anc = np.where(prev >= 0, prev, idx)
+        dist = (prev >= 0).astype(np.int64)
+        steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+        for _ in range(steps):
+            dist = dist + dist[anc]
+            anc = anc[anc]
+        unconverged = prev[anc] >= 0
+        if not unconverged.any():
+            return anc, dist
+        # cycles: find min element of each cycle, make it a head
+        cyc = np.flatnonzero(unconverged)
+        val = idx.copy()
+        nxt = prev.copy()
+        for _ in range(steps):
+            val[cyc] = np.minimum(val[cyc], val[nxt[cyc]])
+            nxt[cyc] = nxt[nxt[cyc]]
+        reps = np.unique(val[cyc])
+        prev = prev.copy()
+        prev[reps] = -1
+    raise AssertionError("pointer doubling failed to converge")
+
+
+def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> AsmGraph:
+    """kedges: (n, n_limbs(k+1)) uint32 sorted unique canonical (k+1)-mers;
+    counts: (n,) int64.  Returns the level-0 assembly graph."""
+    n = len(kedges)
+    if n == 0:
+        return AsmGraph(ksize=k)
+
+    # ------------------------------------------------------------------
+    # decode and derive prefix/suffix canonical node keys
+    kb = lb.np_unpack_limbs(kedges, k + 1)          # (n, k+1) uint8
+    first = kb[:, 0].astype(np.uint8)
+    last = kb[:, k].astype(np.uint8)
+
+    pre = lb.np_pack_bases(kb[:, :k], k)
+    suf = lb.np_pack_bases(kb[:, 1:], k)
+    pre_rc = lb.np_revcomp_limbs(pre, k)
+    suf_rc = lb.np_revcomp_limbs(suf, k)
+    o_pre = lb.np_lex_lt(pre_rc, pre)               # True: canonical is RC
+    o_suf = lb.np_lex_lt(suf_rc, suf)
+    cpre = np.where(o_pre[:, None], pre_rc, pre)
+    csuf = np.where(o_suf[:, None], suf_rc, suf)
+
+    # unique canonical k-mers -> dense ids
+    allk = np.concatenate([cpre, csuf], axis=0)
+    view = _void_view(allk)
+    uniq, inv = np.unique(view, return_inverse=True)
+    m = len(uniq)
+    node_pre = inv[:n].astype(np.int64)
+    node_suf = inv[n:].astype(np.int64)
+
+    # ------------------------------------------------------------------
+    # adjacency nibbles: out-edges of directed k-mer (i, o) at slot i*8+o*4+b
+    # (reference adjacency nibble layout: fw bits 0-3, rv bits 4-7,
+    #  src/kmer_build.c:78-129)
+    adj = np.zeros(m * 8, bool)
+    adj[node_pre * 8 + o_pre * 4 + last] = True
+    adj[node_suf * 8 + (1 - o_suf.astype(np.int64)) * 4 + (3 - first)] = True
+    adj = adj.reshape(m, 2, 4)
+    degs = adj.sum(axis=2)                          # (m, 2) out-degree per orient
+
+    # ------------------------------------------------------------------
+    # directed k-edges: [0,n) canonical orient, [n,2n) rc orient
+    o_pre_i = o_pre.astype(np.int64)
+    o_suf_i = o_suf.astype(np.int64)
+    src_node = np.concatenate([node_pre, node_suf])
+    src_or = np.concatenate([o_pre_i, 1 - o_suf_i])
+    tgt_node = np.concatenate([node_suf, node_pre])
+    tgt_or = np.concatenate([o_suf_i, 1 - o_pre_i])
+    lastbase = np.concatenate([last, 3 - first]).astype(np.uint8)
+
+    src_key = src_node * 2 + src_or
+    tgt_key = tgt_node * 2 + tgt_or
+
+    # unique successor lookup: sort directed k-edges by source key
+    order = np.argsort(src_key, kind="stable")
+    sorted_src = src_key[order]
+    # target (i,o) continues iff outdeg(i,o)==1 and indeg(i,o)==1
+    t_out = degs[tgt_node, tgt_or]
+    t_in = degs[tgt_node, 1 - tgt_or]
+    can_continue = (t_out == 1) & (t_in == 1)
+    pos = np.searchsorted(sorted_src, tgt_key)
+    pos_ok = pos < len(sorted_src)
+    cand = order[np.clip(pos, 0, len(order) - 1)]
+    nxt = np.where(can_continue & pos_ok & (sorted_src[np.clip(pos, 0, len(order) - 1)] == tgt_key),
+                   cand, -1)
+    # never continue into self (degenerate palindromic self-successor)
+    nxt = np.where(nxt == np.arange(2 * n), -1, nxt)
+
+    # head condition: source k-mer is not an interior (1,1) k-mer
+    s_out = degs[src_node, src_or]
+    s_in = degs[src_node, 1 - src_or]
+    prev_exists = (s_out == 1) & (s_in == 1)
+    # guard: prev must actually exist and not be self
+    prv = np.full(2 * n, -1, np.int64)
+    has_next = nxt >= 0
+    prv[nxt[has_next]] = np.flatnonzero(has_next)
+    prev_ptr = np.where(prev_exists & (prv >= 0), prv, -1)
+
+    head_of, dist = _pointer_double_to_head(prev_ptr)
+
+    # ------------------------------------------------------------------
+    # unitig (edge) assembly
+    heads = head_of == np.arange(2 * n)
+    head_ids = np.flatnonzero(heads)
+    n_edges = len(head_ids)
+    u_index = np.full(2 * n, -1, np.int64)
+    u_index[head_ids] = np.arange(n_edges)
+    u_of = u_index[head_of]                          # unitig id per directed k-edge
+
+    ulen_kedges = np.zeros(n_edges, np.int64)
+    np.maximum.at(ulen_kedges, u_of, dist + 1)
+    seq_len = k + 1 + (ulen_kedges - 1)              # = k + ulen
+    seq_off = np.concatenate([[0], np.cumsum(seq_len)]).astype(np.int64)
+    total = int(seq_off[-1])
+    seq_data = np.zeros(total, np.uint8)
+
+    # head contributes its first k bases; every directed k-edge its last base
+    e_of_d = np.concatenate([np.arange(n), np.arange(n)])
+    rkb = (3 - kb)[:, ::-1]
+    head_e = e_of_d[head_ids]
+    head_is_rc = head_ids >= n
+    head_firstk = np.where(head_is_rc[:, None], rkb[head_e, :k], kb[head_e, :k])
+    base_idx = seq_off[:-1][:, None] + np.arange(k)[None, :]
+    seq_data[base_idx.ravel()] = head_firstk.astype(np.uint8).ravel()
+    seq_data[seq_off[u_of] + k + dist] = lastbase
+
+    # counts: sum of k-edge counts along the unitig
+    ecount = np.zeros(n_edges, np.int64)
+    np.add.at(ecount, u_of, counts[e_of_d % n] if False else counts[e_of_d])
+
+    # rc pairing: rc unitig of u = unitig of rc(tail(u))
+    tails = np.flatnonzero(nxt < 0)
+    # every unitig has exactly one tail after cycle breaking? cycles were
+    # broken on prev only; their tail is the element whose next is the new
+    # head.  Fix: tail of u = element with dist == ulen-1.
+    tail_mask = dist == (ulen_kedges[u_of] - 1)
+    tail_d = np.zeros(n_edges, np.int64)
+    tail_d[u_of[tail_mask]] = np.flatnonzero(tail_mask)
+    rc_d = np.where(tail_d < n, tail_d + n, tail_d - n)
+    edge_rc = u_of[rc_d]
+
+    # ------------------------------------------------------------------
+    # nodes: endpoint directed k-mers get ids 2j (orient 0) / 2j+1
+    # (reference fw id 2i / rv id 2i+1, src/kmer_build.c:553-565)
+    src_d = head_ids
+    e_src_key = src_key[src_d]                       # per unitig source (i*2+o)
+    e_tgt_key = tgt_key[tail_d]
+    used_nodes = np.unique(np.concatenate([e_src_key, e_tgt_key]) // 2)
+    node_of = np.full(m, -1, np.int64)
+    node_of[used_nodes] = np.arange(len(used_nodes))
+    n_v = 2 * len(used_nodes)
+
+    def dir_node(key):
+        return node_of[key // 2] * 2 + (key & 1)
+
+    edge_source = dir_node(e_src_key)
+    edge_target = dir_node(e_tgt_key)
+    node_rc = (np.arange(n_v, dtype=np.int64) ^ 1)
+
+    g = AsmGraph(ksize=k)
+    g.node_rc = node_rc
+    g.edge_source = edge_source
+    g.edge_target = edge_target
+    g.edge_rc = edge_rc
+    g.edge_count = ecount
+    g.seq_off = seq_off
+    g.seq_data = seq_data
+    g.rebuild_adjacency()
+    return g
