@@ -1,0 +1,92 @@
+"""End-to-end pipeline + CLI on synthetic FASTQ files."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from turingassembler_tpu import testing as tt
+from turingassembler_tpu.barcode.sort_read import (
+    fetch_reads_by_barcodes,
+    load_barcode_index,
+    parse_fastq_blob,
+    sort_reads,
+)
+from turingassembler_tpu.cli import main as cli_main
+from turingassembler_tpu.config import Config, LIB_TYPE_UST
+from turingassembler_tpu.io.fasta import read_fasta
+from turingassembler_tpu.io.fastq import encode_barcode
+
+
+def write_synthetic_library(tmp_path, genome, n_molecules=200, seed=0):
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=3000, n_molecules=n_molecules,
+        reads_per_molecule=40, read_len=100, insert=250, seed=seed)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            s1 = ACGT[r1[i]].tobytes().decode()
+            s2 = ACGT[r2[i]].tobytes().decode()
+            bseq = encode_barcode(int(bcs[i]) + 1, 16).decode()
+            o1.write(f"@read{i}\n{s1}\n+\n{'I'*len(s1)}\n")
+            o2.write(f"@read{i}\n{s2}\n+\n{'I'*len(s2)}\n")
+            oI.write(f"@read{i}\n{bseq}\n+\n{'I'*16}\n")
+    return f1, f2, fI, bcs
+
+
+def test_cli_basic_pipeline(tmp_path):
+    genome = tt.random_genome(12000, seed=3)
+    f1, f2, fI, _ = write_synthetic_library(tmp_path, genome)
+    out = str(tmp_path / "out")
+    rc = cli_main(["basic", "-1", f1, "-2", f2, "-I", fI,
+                   "-l", "ust", "-k0", "31", "-o", out])
+    assert rc == 0
+    for lvl in ["level_0", "level_1", "level_2"]:
+        for ext in ["bin", "gfa", "fasta"]:
+            assert os.path.exists(os.path.join(out, f"graph_k_31_{lvl}.{ext}")), (lvl, ext)
+    recs = list(read_fasta(os.path.join(out, "graph_k_31_level_2.fasta")))
+    assert len(recs) >= 1
+    # molecule sampling undercovers the genome ends; allow a margin
+    big = max(len(s) for _, s in recs)
+    assert big >= len(genome) - 600
+    gstr = tt.codes_to_str(genome)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    for _, s in recs:
+        if len(s) == big:
+            rc_s = "".join(comp[c] for c in reversed(s))
+            assert s in gstr or rc_s in gstr
+
+
+def test_sort_read_and_index(tmp_path):
+    genome = tt.random_genome(6000, seed=9)
+    f1, f2, fI, bcs = write_synthetic_library(tmp_path, genome, n_molecules=25, seed=4)
+    out = str(tmp_path / "sorted")
+    cfg = Config(files_1=(f1,), files_2=(f2,), files_I=(fI,),
+                 lib_type=LIB_TYPE_UST, out_dir=out)
+    rpath = sort_reads(cfg)
+    assert os.path.exists(rpath.idx_path)
+    index = load_barcode_index(rpath.idx_path)
+    # every barcode present
+    from turingassembler_tpu.io.fastq import decode_barcode_seq
+    want_bcs = {decode_barcode_seq(encode_barcode(int(b) + 1, 16)) for b in bcs}
+    assert set(index) == want_bcs
+
+    # sorted R1 is grouped: offsets are increasing and contiguous
+    offs = sorted((v[0], v[2]) for v in index.values())
+    end = 0
+    for o, l in offs:
+        assert o == end
+        end = o + l
+    assert end == os.path.getsize(rpath.R1_path)
+
+    # random-access fetch returns exactly that barcode's reads
+    some = list(index)[:3]
+    blob1, blob2 = fetch_reads_by_barcodes(rpath, index, some)
+    names, seqs, quals, comments = parse_fastq_blob(blob1)
+    assert len(names) > 0
+    for cm in comments:
+        assert cm.startswith(b"BX:Z:")
+        bcseq = cm.split()[0][5:]
+        assert decode_barcode_seq(bcseq) in some

@@ -1,0 +1,175 @@
+"""Command-line interface mirroring the reference CLI (src/main.c:426-503).
+
+Same subcommand names and flag vocabulary as the reference parser
+(parse_proc_option, main.c:178-286): `-1/-2/-I` file lists, `-l` library
+type, `-k0` global k, `-lk` local k, `-o` output dir, `-i` graph.bin,
+`-f` fasta, `-t` threads, `-sm` sort memory GB, `-v/-vv` verbosity,
+`-metagenomics`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .config import Config, LIB_TYPE_NAMES
+from .logging_utils import init_logger, set_log_stage
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-1", dest="files_1", nargs="+", default=[], help="forward reads")
+    p.add_argument("-2", dest="files_2", nargs="+", default=[], help="reverse reads")
+    p.add_argument("-I", dest="files_I", nargs="+", default=[], help="index (barcode) reads")
+    p.add_argument("-l", dest="lib_type", choices=list(LIB_TYPE_NAMES), default="ust")
+    p.add_argument("-k0", dest="k0", type=int, default=45)
+    p.add_argument("-lk", dest="lk", type=int, default=31)
+    p.add_argument("-o", dest="out_dir", default=".")
+    p.add_argument("-i", dest="in_file", default=None, help="input graph .bin")
+    p.add_argument("-f", dest="in_fasta", default=None, help="input fasta")
+    p.add_argument("-lc", dest="in_contig_file", default=None, help="scaffold contig fasta")
+    p.add_argument("-t", dest="n_threads", type=int, default=4)
+    p.add_argument("-sm", dest="mmem_gb", type=int, default=32)
+    p.add_argument("-mc", dest="min_kmer_count", type=int, default=1,
+                   help="drop (k+1)-mers below this count")
+    p.add_argument("-v", dest="verbose", action="count", default=0)
+    p.add_argument("-metagenomics", dest="metagenomics", action="store_true")
+
+
+def _cfg_from_args(a) -> Config:
+    cfg = Config(
+        n_threads=a.n_threads,
+        k0=a.k0, lk=a.lk,
+        out_dir=a.out_dir,
+        mmem_gb=a.mmem_gb,
+        lib_type=LIB_TYPE_NAMES[a.lib_type],
+        metagenomics=a.metagenomics,
+        files_1=tuple(a.files_1), files_2=tuple(a.files_2),
+        files_I=tuple(a.files_I),
+        in_file=a.in_file, in_fasta=a.in_fasta,
+        in_contig_file=a.in_contig_file,
+    )
+    import dataclasses
+    cfg = cfg.replace(device=dataclasses.replace(cfg.device,
+                                                 min_kmer_count=a.min_kmer_count))
+    return cfg
+
+
+COMMANDS = {}
+
+
+def command(name):
+    def deco(fn):
+        COMMANDS[name] = fn
+        return fn
+    return deco
+
+
+@command("assembly3")
+def cmd_assembly3(cfg: Config):
+    from .pipeline import assembly3
+    set_log_stage("assembly3")
+    assembly3(cfg)
+
+
+@command("basic")
+def cmd_basic(cfg: Config):
+    """Graph-only pipeline: build_0 + build_0_1 + build_1_2."""
+    from .pipeline import assembly_basic
+    set_log_stage("basic")
+    assembly_basic(cfg)
+
+
+@command("build_0")
+def cmd_build_0(cfg: Config):
+    from .pipeline import build_0
+    set_log_stage("build_0")
+    build_0(cfg)
+
+
+@command("build_0_1")
+def cmd_build_0_1(cfg: Config):
+    from .pipeline import build_0_1
+    set_log_stage("build_0_1")
+    build_0_1(cfg)
+
+
+@command("build_1_2")
+def cmd_build_1_2(cfg: Config):
+    from .pipeline import build_1_2
+    set_log_stage("build_1_2")
+    build_1_2(cfg)
+
+
+@command("sort_read")
+def cmd_sort_read(cfg: Config):
+    from .barcode.sort_read import sort_reads
+    set_log_stage("sort_read")
+    sort_reads(cfg)
+
+
+@command("build_barcode")
+def cmd_build_barcode(cfg: Config):
+    from .barcode.builder import construct_aux_info
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .pipeline import graph_path
+    set_log_stage("build_barcode")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    g = construct_aux_info(cfg, g, rpath)
+    asmg.save_graph(g, graph_path(cfg.out_dir, g.ksize, "added_barcode"))
+
+
+@command("scaffold")
+def cmd_scaffold(cfg: Config):
+    from .io import asmg
+    from .scaffold.scaffolding import scaffolding
+    set_log_stage("scaffold")
+    g = asmg.load_graph(cfg.in_file)
+    scaffolding(cfg, g, cfg.out_dir)
+
+
+@command("local_assembly")
+def cmd_local_assembly(cfg: Config):
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .localasm.bridge import build_bridge
+    import os
+    set_log_stage("local_assembly")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    scaf = os.path.join(cfg.out_dir, "local_assembly_scaffold_path.txt")
+    build_bridge(cfg, g, rpath, scaf)
+
+
+@command("bin2text")
+def cmd_bin2text(cfg: Config):
+    """Graph round-trip debug dump (reference process.c:31-45)."""
+    from .io import asmg
+    from .io.fasta import write_fasta_all
+    g = asmg.load_graph(cfg.in_file)
+    out = cfg.in_file + ".fasta"
+    write_fasta_all(g, out)
+    print(f"wrote {out} (n_v={g.n_v}, n_e={g.n_e}, k={g.ksize})")
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser(
+        prog="turingassembler_tpu",
+        description="TPU-native read-cloud genome assembler")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in COMMANDS:
+        sp = sub.add_parser(name)
+        _add_common(sp)
+    a = parser.parse_args(argv)
+    cfg = _cfg_from_args(a)
+    level = logging.DEBUG if a.verbose else logging.INFO
+    init_logger(cfg.out_dir, level)
+    COMMANDS[a.cmd](cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

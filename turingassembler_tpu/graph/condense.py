@@ -33,7 +33,7 @@ def _is_dead_end(g: AsmGraph, u: int, deg, lens_h) -> bool:
     return lens_h[e] < DEAD_END_LEN
 
 
-def asm_condense(g0: AsmGraph) -> AsmGraph:
+def asm_condense(g0: AsmGraph, return_map: bool = False):
     g0.rebuild_adjacency()
     deg = g0.node_deg()
     lens_h = g0.edge_lens_with_holes()
@@ -122,6 +122,14 @@ def asm_condense(g0: AsmGraph) -> AsmGraph:
             lh = np.array([l for _, l in e["holes"]], np.int64)
             g.holes[i] = (ph, lh)
     g.rebuild_adjacency()
+    if return_map:
+        # new node id -> old node id (reference asm_condense_map,
+        # src/basic_resolve.c:377-505)
+        new_to_old = np.zeros(n_v, np.int64)
+        for u in range(g0.n_v):
+            if node_id[u] != -1:
+                new_to_old[node_id[u]] = u
+        return g, new_to_old
     return g
 
 

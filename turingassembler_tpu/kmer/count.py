@@ -2,15 +2,20 @@
 
 Replaces the external KMC counter (reference include/kmc_skipping.h:8-11,
 invoked from src/kmer_build.c:726-737) and the striped-lock kmhash
-(src/kmhash.c).  Per device batch: window-extract + canonicalize + sort +
-run-length encode entirely on device; per-batch sorted unique runs are
-merged on host (the analogue of the reference's external k-way merge,
-src/sort_read.c:149-210).  Multi-chip sharding lives in
-parallel/sharded_count.py.
+(src/kmhash.c).
+
+Per device batch: window-extract + canonicalize + ONE tile-sized
+`lax.sort` + run-length encode.  Tiles are kept small (XLA's TPU sort is
+a comparator network that degrades sharply past ~1M rows); larger runs
+are built by the log-structured merge accumulator (ops/merge.py) whose
+merge step uses only binary search + scatter.  The whole stream
+compiles a constant number of shapes: one tile sort + one merge per
+doubling level.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Iterator, Tuple
 
 import jax
@@ -19,15 +24,26 @@ import numpy as np
 
 from ..ops import kmers as km
 from ..ops import sortops as so
+from ..ops.merge import SENTINEL, DeviceCountAccumulator
 
 
-def _device_batch_count(bases: np.ndarray, lengths: np.ndarray, k1: int):
-    """One batch on device: canonical k1-mers -> sorted unique + counts."""
+@functools.partial(jax.jit, static_argnames=("k1",), donate_argnums=())
+def batch_count_tile(bases, lengths, k1: int):
+    """One batch -> sorted unique run, sentinel-padded to tile capacity.
+
+    Returns (keys (T, nl) uint32 with tail = 0xFFFFFFFF, counts (T,)
+    int32, n_unique ()).
+    """
     canon, _, valid = km.extract_canonical_kmers(bases, lengths, k1)
     flat = canon.reshape(-1, canon.shape[-1])
     vflat = valid.reshape(-1)
     uniq, counts, n_unique = so.sort_unique_count(flat, vflat)
-    return uniq, counts, n_unique
+    T = uniq.shape[0]
+    idx = jnp.arange(T)
+    tail = (idx >= n_unique)[:, None]
+    keys = jnp.where(tail, jnp.uint32(SENTINEL), uniq)
+    counts = jnp.where(idx >= n_unique, 0, counts)
+    return keys, counts, n_unique
 
 
 def count_kedges_from_batches(
@@ -39,13 +55,13 @@ def count_kedges_from_batches(
     batches.  Returns (kedges (n, nl) uint32 sorted unique, counts (n,)
     int64), filtered to count >= min_count."""
     k1 = k + 1
-    runs = []
+    acc = DeviceCountAccumulator()
     for bases, lengths in batches:
-        uniq, counts, n_unique = _device_batch_count(
-            np.ascontiguousarray(bases), np.ascontiguousarray(lengths), k1)
-        n = int(n_unique)
-        runs.append((np.asarray(uniq[:n]), np.asarray(counts[:n], np.int64)))
-    kedges, counts = so.np_merge_count_runs(runs)
+        keys, counts, _ = batch_count_tile(
+            jnp.asarray(np.ascontiguousarray(bases)),
+            jnp.asarray(np.ascontiguousarray(lengths)), k1)
+        acc.add_run(keys, counts)
+    kedges, counts = acc.finalize()
     if min_count > 1 and len(counts):
         keep = counts >= min_count
         kedges, counts = kedges[keep], counts[keep]
@@ -54,10 +70,19 @@ def count_kedges_from_batches(
 
 def count_kedges_from_reads(
     reads: np.ndarray, lengths: np.ndarray, k: int,
-    batch_size: int = 65536, min_count: int = 1,
+    batch_size: int = 8192, min_count: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Convenience wrapper: chunk a read matrix into batches and count."""
+    """Convenience wrapper: chunk a read matrix into batches and count.
+
+    The tail batch is zero-padded up to batch_size (padded reads have
+    length 0 so contribute nothing) to keep shapes constant."""
     def gen():
         for i in range(0, len(reads), batch_size):
-            yield reads[i : i + batch_size], lengths[i : i + batch_size]
+            rb = reads[i : i + batch_size]
+            lb = lengths[i : i + batch_size]
+            if len(rb) < batch_size:
+                pad = batch_size - len(rb)
+                rb = np.concatenate([rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
+                lb = np.concatenate([lb, np.zeros(pad, np.int32)])
+            yield rb, lb
     return count_kedges_from_batches(gen(), k, min_count=min_count)

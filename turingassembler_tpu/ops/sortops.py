@@ -94,10 +94,11 @@ def searchsorted_limbs(table, queries):
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2
-        row = table[mid]  # gather (Q, nl)
+        row = table[jnp.clip(mid, 0, M - 1)]  # gather (Q, nl)
         lt = _lex_lt_rows(row, queries)
-        lo = jnp.where(lt, mid + 1, lo)
-        hi = jnp.where(lt, hi, mid)
+        active = lo < hi  # converged lanes must not move past M
+        lo = jnp.where(active & lt, mid + 1, lo)
+        hi = jnp.where(active & ~lt, mid, hi)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))

@@ -1,0 +1,152 @@
+"""Staged pipeline orchestration — the rebuild of src/process.c.
+
+Every stage mirrors the reference's disk-checkpoint discipline
+(save_graph_info, process.c:516-532): it ends by writing
+`graph_k_<k>_<suffix>.{bin,gfa,fasta}` into the output directory, so any
+stage can be re-run standalone from its input file (checkpoint/resume,
+SURVEY.md §5.4).
+
+Stage map (reference assembly3_process, process.c:585-701):
+  build_0        FASTQ -> counted (k+1)-mers -> level_0 graph
+  build_0_1      level_0 -> basic resolve fixpoint -> level_1
+  build_1_2      level_1 -> simple+complex bulges -> level_2
+  sort_read      barcode-sorted read archive + barcode.idx
+  build_barcode  map reads, attach per-edge barcode sets
+  scaffolding    shared-barcode greedy paths -> scaffolds.fasta
+  build_bridge   per-gap local assembly -> scaffold.full.fasta
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import Config
+from .graph.build import build_graph_from_kedges
+from .graph.condense import asm_condense
+from .graph.invariants import check_graph
+from .graph.structs import AsmGraph
+from .io import asmg
+from .io.fasta import write_fasta, write_gfa
+from .io.fastq import read_fastq_batches
+from .kmer.count import count_kedges_from_batches
+from .logging_utils import get_logger
+
+log = get_logger()
+
+
+def graph_path(out_dir: str, k: int, suffix: str, ext: str = "bin") -> str:
+    return os.path.join(out_dir, f"graph_k_{k}_{suffix}.{ext}")
+
+
+def save_graph_info(g: AsmGraph, out_dir: str, suffix: str) -> None:
+    """reference save_graph_info (process.c:516-532): bin + gfa + fasta."""
+    os.makedirs(out_dir, exist_ok=True)
+    asmg.save_graph(g, graph_path(out_dir, g.ksize, suffix, "bin"))
+    write_gfa(g, graph_path(out_dir, g.ksize, suffix, "gfa"))
+    write_fasta(g, graph_path(out_dir, g.ksize, suffix, "fasta"))
+    log.info("saved graph level '%s': n_v=%d n_e=%d", suffix, g.n_v, g.n_e)
+
+
+def _genomic_batches(cfg: Config, batch_size: int = 4096, pad_to: int = 256):
+    """Yield (bases, lengths) batches over all genomic reads (R1 + R2).
+
+    10X libraries carry barcode+UMI in the first 23 bp of R1
+    (reference get_barcode_10x, src/sort_read.c:62-79) — trimmed here
+    before counting."""
+    from .config import LIB_TYPE_10X
+    for i, path in enumerate(list(cfg.files_1) + list(cfg.files_2)):
+        is_r1 = i < len(cfg.files_1)
+        for b in read_fastq_batches(path, batch_size=batch_size, pad_to=pad_to):
+            bases, lengths = b.bases, b.lengths
+            if cfg.lib_type == LIB_TYPE_10X and is_r1:
+                bases = bases[:, 23:]
+                lengths = np.maximum(lengths - 23, 0)
+            if len(bases) < batch_size:
+                pad = batch_size - len(bases)
+                bases = np.concatenate([bases, np.full((pad, bases.shape[1]), 255, np.uint8)])
+                lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+            yield bases, lengths
+
+
+def build_0(cfg: Config, out_dir: Optional[str] = None) -> AsmGraph:
+    """FASTQ -> level-0 graph (reference build_0_KMC process.c:47 ->
+    build_initial_graph kmer_build.c:839)."""
+    out_dir = out_dir or cfg.out_dir
+    k = cfg.k0
+    if not (cfg.files_1 or cfg.files_2):
+        raise SystemExit("build_0: no input reads (use -1/-2)")
+    t0 = time.time()
+    kedges, counts = count_kedges_from_batches(
+        _genomic_batches(cfg), k, min_count=cfg.device.min_kmer_count)
+    log.info("counted %d unique (k+1)-mers in %.1fs", len(kedges), time.time() - t0)
+    g = build_graph_from_kedges(kedges, counts, k)
+    check_graph(g, check_seq=False)
+    save_graph_info(g, out_dir, "level_0")
+    return g
+
+
+def build_0_1(cfg: Config, g: Optional[AsmGraph] = None,
+              out_dir: Optional[str] = None) -> AsmGraph:
+    """level_0 -> level_1 via the basic-resolve fixpoint (reference
+    build_0_1 process.c:121 -> resolve_graph_operation)."""
+    from .resolve import resolve_graph_operation
+    out_dir = out_dir or cfg.out_dir
+    if g is None:
+        g = asmg.load_graph(graph_path(out_dir, cfg.k0, "level_0"))
+    g = resolve_graph_operation(g, log=log.info)
+    check_graph(g, check_seq=False)
+    save_graph_info(g, out_dir, "level_1")
+    return g
+
+
+def build_1_2(cfg: Config, g: Optional[AsmGraph] = None,
+              out_dir: Optional[str] = None) -> AsmGraph:
+    """level_1 -> level_2: simple bulges + complex bulges + condense
+    (reference resolve_local_process process.c:493)."""
+    from .resolve.bulges import resolve_simple_bulges_ite, resolve_complex_bulges_ite
+    out_dir = out_dir or cfg.out_dir
+    if g is None:
+        g = asmg.load_graph(graph_path(out_dir, cfg.k0, "level_1"))
+    g = resolve_simple_bulges_ite(g)
+    g = resolve_complex_bulges_ite(g)
+    g = asm_condense(g)
+    check_graph(g, check_seq=False)
+    save_graph_info(g, out_dir, "level_2")
+    return g
+
+
+def assembly_basic(cfg: Config) -> AsmGraph:
+    """Stages 0-2 (the graph-only part of assembly3)."""
+    g = build_0(cfg)
+    g = build_0_1(cfg, g)
+    g = build_1_2(cfg, g)
+    return g
+
+
+def assembly3(cfg: Config) -> str:
+    """Full pipeline -> scaffold path file (reference assembly3_process
+    process.c:585-701).  Returns the final fasta path."""
+    from .barcode.sort_read import sort_reads
+    from .barcode.builder import construct_aux_info
+    from .scaffold.scaffolding import scaffolding as scaffold_stage
+    from .localasm.bridge import build_bridge
+
+    out_dir = cfg.out_dir
+    g = assembly_basic(cfg)
+
+    rpath = sort_reads(cfg)
+    log.info("sorted read archive: %s", rpath.idx_path)
+
+    g = construct_aux_info(cfg, g, rpath)
+    asmg.save_graph(g, graph_path(out_dir, cfg.k0, "added_barcode"))
+
+    scaf_path = scaffold_stage(cfg, g, out_dir)
+    log.info("scaffold paths: %s", scaf_path)
+
+    final = build_bridge(cfg, g, rpath, scaf_path)
+    log.info("final assembly: %s", final)
+    return final
