@@ -17,6 +17,7 @@ run-length count -> host merge of per-batch runs -> level-0 unitig graph.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -30,15 +31,23 @@ def log(*a):
 def main():
     import jax
 
+    # axon remote-compile costs minutes per shape; persist compiled
+    # executables so repeated bench runs (and pipeline runs) skip it
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from turingassembler_tpu import testing as tt
     from turingassembler_tpu.graph.build import build_graph_from_kedges
     from turingassembler_tpu.kmer import count as kc
 
-    k = 45
+    k = int(os.environ.get("TA_BENCH_K", 45))
     read_len = 150
-    batch = 65536
-    n_batches = 8
-    genome_size = 2_000_000
+    # tile = batch*(read_len-k) rows; keep lax.sort modest (876k rows)
+    batch = int(os.environ.get("TA_BENCH_BATCH", 8192))
+    n_batches = int(os.environ.get("TA_BENCH_NBATCHES", 64))
+    genome_size = int(os.environ.get("TA_BENCH_GENOME", 2_000_000))
 
     log(f"devices: {jax.devices()}")
     genome = tt.random_genome(genome_size, seed=0)
@@ -50,9 +59,10 @@ def main():
     reads, lengths = reads[:n_reads], lengths[:n_reads]
     log(f"reads: {reads.shape}")
 
-    # warmup/compile on the first batch
+    # warmup/compile: one full pass compiles the tile sort + every LSM
+    # merge level so the timed pass measures steady-state throughput
     t0 = time.time()
-    kc.count_kedges_from_reads(reads[:batch], lengths[:batch], k, batch_size=batch)
+    kc.count_kedges_from_reads(reads, lengths, k, batch_size=batch)
     log(f"compile+warmup: {time.time()-t0:.1f}s")
 
     t0 = time.time()

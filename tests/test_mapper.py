@@ -1,0 +1,109 @@
+"""Minimizer mapper: index properties + mapping accuracy on synthetic data."""
+
+import numpy as np
+import pytest
+
+from turingassembler_tpu import testing as tt
+from turingassembler_tpu.graph.build import build_graph_from_kedges
+from turingassembler_tpu.kmer.count import count_kedges_from_reads
+from turingassembler_tpu.mapper.minimizers import (
+    MM_K,
+    MM_W,
+    EdgeMinimizerIndex,
+    map_reads,
+    minimizer_mask,
+)
+from turingassembler_tpu.ops import limbs as lbops
+
+rng = np.random.default_rng(0)
+
+
+def brute_minimizers(seq, k=MM_K, w=MM_W):
+    """Oracle: leftmost min-hash per window, via the same hash."""
+    import jax.numpy as jnp
+    P = len(seq) - k + 1
+    kms = [seq[i : i + k] for i in range(P)]
+    packed = np.stack([np.asarray(lbops.pack_bases(km[None, :], k))[0] for km in kms])
+    hashes = np.asarray(lbops.hash_limbs(packed))
+    out = set()
+    for i in range(len(seq) - k - w + 2):
+        window = hashes[i : i + w]
+        out.add(i + int(np.argmin(window)))
+    return out
+
+
+def test_minimizer_mask_oracle():
+    L = 80
+    seqs = rng.integers(0, 4, (6, L)).astype(np.uint8)
+    lengths = np.full(6, L, np.int32)
+    km, h, is_mm = minimizer_mask(seqs, lengths)
+    is_mm = np.asarray(is_mm)
+    for b in range(6):
+        want = brute_minimizers(seqs[b])
+        got = set(np.flatnonzero(is_mm[b]).tolist())
+        assert got == want
+
+
+def test_minimizer_mask_respects_length():
+    L = 80
+    seqs = rng.integers(0, 4, (2, L)).astype(np.uint8)
+    lengths = np.array([L, 40], np.int32)
+    km, h, is_mm = minimizer_mask(seqs, lengths)
+    is_mm = np.asarray(is_mm)
+    want = brute_minimizers(seqs[1][:40])
+    got = set(np.flatnonzero(is_mm[1]).tolist())
+    assert got == want
+
+
+def make_two_contig_graph(seed=3):
+    rng2 = np.random.default_rng(seed)
+    g1 = rng2.integers(0, 4, 3000).astype(np.uint8)
+    g2 = rng2.integers(0, 4, 2500).astype(np.uint8)
+    genome = np.concatenate([g1, np.full(0, 0, np.uint8), g2])
+    # build two separate components by counting reads from each part
+    r1, l1 = tt.sim_reads(g1, coverage=30, read_len=100, seed=1)
+    r2, l2 = tt.sim_reads(g2, coverage=30, read_len=100, seed=2)
+    reads = np.concatenate([r1, r2])
+    lengths = np.concatenate([l1, l2])
+    ke, c = count_kedges_from_reads(reads, lengths, 31)
+    g = build_graph_from_kedges(ke, c, 31)
+    return g, g1, g2
+
+
+def test_map_reads_to_correct_edge():
+    g, g1, g2 = make_two_contig_graph()
+    assert g.n_e == 4  # two contigs, rc pairs
+    idx = EdgeMinimizerIndex.build(g)
+    assert len(idx.keys) > 0
+    assert idx.singleton.sum() > 0
+
+    # fresh reads from genome 1 must vote for the edge matching g1
+    reads, lengths = tt.sim_reads(g1, coverage=3, read_len=120, seed=9, pad_to=128)
+    edges, hits, starts = map_reads(idx, reads, lengths, batch_size=256)
+    mapped = edges >= 0
+    assert mapped.mean() > 0.9
+    # figure out which edge pair is g1 (longer contig)
+    lens = g.edge_len()
+    g1_pair = {e for e in range(g.n_e) if abs(lens[e] - 3000) < 50}
+    assert set(edges[mapped].tolist()) <= g1_pair
+    # positions sane
+    ok = starts[mapped]
+    assert (ok >= 0).all() and (ok < 3000).all()
+
+
+def test_map_reads_position_accuracy():
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    lens = g.edge_len()
+    # take fw reads at known positions from g1's edge sequence itself
+    eid = int(np.argmax(lens * g.alive_mask()))
+    eseq = g.get_seq(eid)
+    B, L = 32, 100
+    starts_true = rng.integers(0, len(eseq) - L, B)
+    reads = np.stack([eseq[s : s + L] for s in starts_true]).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    edges, hits, starts = map_reads(idx, reads, lengths, batch_size=32)
+    good = edges == eid
+    assert good.mean() > 0.9
+    err = np.abs(starts[good] - starts_true[good])
+    assert np.median(err) <= 2

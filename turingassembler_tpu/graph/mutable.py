@@ -201,6 +201,26 @@ class MutableGraph:
         self.remove_edge(e2)
         self.remove_edge(e_rc1)
 
+    def join_edge3(self, e1: int, e2: int, e3: int, e2_count: int) -> None:
+        """Join e1 + e2 + e3 with k-overlaps; e2 (the repeat) contributes
+        e2_count to both strands (reference asm_join_edge3,
+        src/assembly_graph.c:600-630).  Survivors: e1 and rc(e3)."""
+        e_rc1 = self.edges[e1].rc_id
+        e_rc2 = self.edges[e2].rc_id
+        e_rc3 = self.edges[e3].rc_id
+        self.append_seq(e1, e2, self.ksize)
+        self.append_seq(e1, e3, self.ksize)
+        self.edges[e1].target = self.edges[e3].target
+        self.edges[e1].count += self.edges[e3].count + e2_count
+        self.append_seq(e_rc3, e_rc2, self.ksize)
+        self.append_seq(e_rc3, e_rc1, self.ksize)
+        self.edges[e_rc3].target = self.edges[e_rc1].target
+        self.edges[e_rc3].count += self.edges[e_rc1].count + e2_count
+        self.edges[e1].rc_id = e_rc3
+        self.edges[e_rc3].rc_id = e1
+        self.remove_edge(e3)
+        self.remove_edge(e_rc1)
+
     def unroll_loop_forward(self, e1: int, e2: int, rep: int) -> None:
         """Append (e2 + original-e1) rep times to e1, capped at 2000 bp;
         add e2's count once (reference asm_unroll_loop_forward

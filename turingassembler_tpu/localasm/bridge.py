@@ -1,0 +1,284 @@
+"""Gap bridging driver — rebuild of src/build_bridge.c.
+
+Bridge outcomes (reference build_bridge.h:18-21 + try_bridging :376-425):
+  LOCAL_NOT_FOUND  either flank unmapped -> join with 100 N
+                   (join_bridge_dump :718-736)
+  TRIVIAL          both flanks on one local edge -> splice through it
+                   (join_trivial_bridge :586-624)
+  MULTIPLE_PATH    path found -> stitch path sequence with k-overlaps
+                   (join_bridge_by_path :634-664)
+  PATH_NOT_FOUND   flanks mapped, no path -> synced flanks + 100 N
+                   (join_bridge_no_path :692-716)
+
+Path choice: candidate path center sequences are scored by mapping the
+local reads to them (reference writes a FASTA and BWA-maps;
+get_path_scores :519-568); here the batched minimizer mapper votes and
+score = hits - errors per path, best = max of
+(score - min_score) + (max_err - err).
+
+Driver (build_bridge :842-946): parse local_assembly_scaffold_path.txt,
+dedup consecutive pairs, build/caches per-pair local graphs, bridge each
+adjacent pair, emit scaffold.full.fasta = bridged paths (overlap-deduped
+via the suffix-trim trick of print_bridges :916-934) + unused contigs
+>= 500 bp.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..graph.structs import ACGT, AsmGraph
+from ..io import asmg
+from ..logging_utils import get_logger
+from ..barcode.sort_read import ReadPath, load_barcode_index
+from ..mapper.minimizers import EdgeMinimizerIndex, map_reads
+from . import local as L
+
+log = get_logger()
+
+BRIDGE_LOCAL_NOT_FOUND = 0
+BRIDGE_TRIVIAL_BRIDGE = 1
+BRIDGE_MULTIPLE_PATH = 2
+BRIDGE_PATH_NOT_FOUND = 3
+DUMP_N_LEN = 100             # build_bridge.h DUMP_N_LEN
+MIN_OUTPUT_CONTIG_LEN = 500  # build_bridge.h
+MIN_PROCESS_COV = 500        # build_bridge.c:15
+
+
+def _s(codes: np.ndarray) -> str:
+    return ACGT[np.minimum(codes, 3)].tobytes().decode()
+
+
+def _dump_n() -> str:
+    return "N" * DUMP_N_LEN
+
+
+def sync_global_local(gseq: str, lseq: str, gpos: L.SubseqPos, lpos: L.SubseqPos,
+                      mode: str) -> str:
+    """reference sync_global_local_edge (build_bridge.c:130-175)."""
+    if mode == "keep_global":
+        return gseq[: gpos.start] + lseq[lpos.start :]
+    if mode == "keep_local":
+        return lseq[: lpos.end] + gseq[gpos.end :]
+    if mode == "max_global":
+        tail = gseq[gpos.end :] if len(gseq) - gpos.end > len(lseq) - lpos.end \
+            else lseq[lpos.end :]
+        return gseq[: gpos.start] + lseq[lpos.start : lpos.end] + tail
+    # max_local
+    head = gseq[: gpos.start] if gpos.start > lpos.start else lseq[: lpos.start]
+    return head + lseq[lpos.start : lpos.end] + gseq[gpos.end :]
+
+
+def join_bridge_dump(g: AsmGraph, e1: int, e2: int) -> str:
+    return _s(g.get_seq(e1)) + _dump_n() + _s(g.get_seq(e2))
+
+
+def join_trivial_bridge(g: AsmGraph, lg: AsmGraph, emap1: L.EdgeMap,
+                        emap2: L.EdgeMap) -> str:
+    e1s = _s(g.get_seq(emap1.gl_e))
+    e2s = _s(g.get_seq(emap2.gl_e))
+    ls = _s(lg.get_seq(emap1.lc_e))
+    gpos1, gpos2 = emap1.gpos, emap2.gpos
+    lpos1, lpos2 = emap1.lpos, emap2.lpos
+    l2start, g2start = lpos2.start, gpos2.start
+    if l2start < lpos1.end:
+        diff = lpos1.end - l2start
+        l2start = lpos1.end
+        g2start += diff
+    return e1s[: gpos1.end] + ls[lpos1.end : l2start] + e2s[g2start :]
+
+
+def join_bridge_by_path(g: AsmGraph, lg: AsmGraph, path: List[int],
+                        emap1: L.EdgeMap, emap2: L.EdgeMap) -> str:
+    head = sync_global_local(_s(g.get_seq(emap1.gl_e)), _s(lg.get_seq(path[0])),
+                             emap1.gpos, emap1.lpos, "keep_global")
+    tail = sync_global_local(_s(g.get_seq(emap2.gl_e)), _s(lg.get_seq(path[-1])),
+                             emap2.gpos, emap2.lpos, "keep_local")
+    parts = [head]
+    for e in path[1:-1]:
+        parts.append(_s(lg.get_seq(e))[lg.ksize :])
+    parts.append(tail[lg.ksize :])
+    return "".join(parts)
+
+
+def join_bridge_no_path(g: AsmGraph, lg: AsmGraph, emap1: L.EdgeMap,
+                        emap2: L.EdgeMap) -> str:
+    first = sync_global_local(_s(g.get_seq(emap1.gl_e)), _s(lg.get_seq(emap1.lc_e)),
+                              emap1.gpos, emap1.lpos, "max_global")
+    second = sync_global_local(_s(g.get_seq(emap2.gl_e)), _s(lg.get_seq(emap2.lc_e)),
+                               emap2.gpos, emap2.lpos, "max_local")
+    return first + _dump_n() + second
+
+
+def path_center_seq(lg: AsmGraph, path: List[int]) -> str:
+    parts = [_s(lg.get_seq(path[0]))]
+    for e in path[1:]:
+        parts.append(_s(lg.get_seq(e))[lg.ksize :])
+    return "".join(parts)
+
+
+def score_paths(lg: AsmGraph, paths: List[List[int]], reads: np.ndarray,
+                lengths: np.ndarray) -> int:
+    """Pick the best path by mapping local reads to candidate sequences
+    (reference get_path_scores build_bridge.c:519-568; score = mapped
+    count, error = ambiguity count)."""
+    from ..io.fastq import NT4
+    seqs = [path_center_seq(lg, p) for p in paths]
+    cand = AsmGraph(ksize=lg.ksize)
+    # build a throwaway graph-like container for the mapper: one edge per path
+    lens = np.array([len(s) for s in seqs], np.int64)
+    cand.seq_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    cat = np.concatenate([np.frombuffer(s.encode(), np.uint8) for s in seqs]) \
+        if seqs else np.zeros(0, np.uint8)
+    cand.seq_data = NT4[cat]
+    cand.edge_source = np.zeros(len(seqs), np.int64)
+    cand.edge_target = np.zeros(len(seqs), np.int64)
+    cand.edge_rc = np.arange(len(seqs), dtype=np.int64)
+    cand.edge_count = np.ones(len(seqs), np.int64)
+    cand.node_rc = np.zeros(1, np.int64)
+    idx = EdgeMinimizerIndex.build(cand)
+    edges, hits, _ = map_reads(idx, reads, lengths)
+    score = np.zeros(len(paths), np.int64)
+    for e in edges:
+        if e >= 0:
+            score[e] += 1
+    return int(np.argmax(score)) if len(paths) else -1
+
+
+def try_bridging(cfg: Config, g: AsmGraph, lg: AsmGraph, scaffolds: List[int],
+                 emap1: L.EdgeMap, emap2: L.EdgeMap,
+                 local_reads) -> Tuple[int, str]:
+    if emap1.lc_e == -1 or emap2.lc_e == -1:
+        return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, emap1.gl_e, emap2.gl_e)
+    if emap1.lc_e == emap2.lc_e:
+        return BRIDGE_TRIVIAL_BRIDGE, join_trivial_bridge(g, lg, emap1, emap2)
+    # filters
+    lg, emap1, emap2 = L.unrelated_filter(g, lg, emap1, emap2, scaffolds)
+    if emap1.lc_e == -1 or emap2.lc_e == -1:
+        return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, emap1.gl_e, emap2.gl_e)
+    if emap1.lc_e == emap2.lc_e:
+        return BRIDGE_TRIVIAL_BRIDGE, join_trivial_bridge(g, lg, emap1, emap2)
+    lg, emap1, emap2 = L.connection_filter(g, lg, emap1, emap2)
+    lg, emap1, emap2 = L.coverage_filter(g, lg, emap1, emap2)
+    if emap1.lc_e == -1 or emap2.lc_e == -1:
+        return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, emap1.gl_e, emap2.gl_e)
+    if emap1.lc_e == emap2.lc_e:
+        return BRIDGE_TRIVIAL_BRIDGE, join_trivial_bridge(g, lg, emap1, emap2)
+
+    check_k = lg.ksize + cfg.bridge.ksize_check_delta  # KSIZE_CHECK
+    kset = set()
+    if local_reads is not None:
+        bases, lengths = local_reads
+        kset = L.read_kmer_set(bases, lengths, check_k)
+    paths = L.get_all_paths_kmer_check(lg, emap1, emap2, check_k, kset)
+    if not paths:
+        return BRIDGE_PATH_NOT_FOUND, join_bridge_no_path(g, lg, emap1, emap2)
+    if len(paths) == 1 or local_reads is None:
+        best = 0
+    else:
+        best = score_paths(lg, paths, *local_reads)
+    return BRIDGE_MULTIPLE_PATH, join_bridge_by_path(g, lg, paths[best],
+                                                     emap1, emap2)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def parse_scaffold_paths(path_file: str) -> List[List[int]]:
+    with open(path_file) as fp:
+        tokens = fp.read().split()
+    it = iter(tokens)
+    n = int(next(it))
+    out = []
+    for _ in range(n):
+        ln = int(next(it))
+        out.append([int(next(it)) for _ in range(ln)])
+    return out
+
+
+def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
+                 scaffold_path_file: str, out_dir: Optional[str] = None) -> str:
+    out_dir = out_dir or cfg.out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    paths = parse_scaffold_paths(scaffold_path_file)
+    bc_index = load_barcode_index(rpath.idx_path)
+    cov = g.edge_cov()
+
+    mark = np.zeros(g.n_e, bool)
+    for p in paths:
+        for e in p:
+            mark[e] = mark[int(g.edge_rc[e])] = True
+
+    out_fa = os.path.join(out_dir, "scaffold.full.fasta")
+    n_types = [0, 0, 0, 0]
+    with open(out_fa, "w") as f:
+        for pi, p in enumerate(paths):
+            bridged: List[str] = []
+            for j in range(1, len(p)):
+                e1, e2 = p[j - 1], p[j]
+                if cov[e1] > MIN_PROCESS_COV or cov[e2] > MIN_PROCESS_COV:
+                    seq = join_bridge_dump(g, e1, e2)
+                    n_types[BRIDGE_LOCAL_NOT_FOUND] += 1
+                else:
+                    res, seq = _bridge_pair(cfg, g, rpath, bc_index, p, e1, e2,
+                                            out_dir)
+                    n_types[res] += 1
+                bridged.append(seq)
+            f.write(f">contig_{pi}\n")
+            f.write(_merge_bridges(g, p, bridged))
+            f.write("\n")
+        for i in range(g.n_e):
+            if g.edge_len(i) < MIN_OUTPUT_CONTIG_LEN or g.edge_source[i] < 0:
+                continue
+            if not mark[i]:
+                rc = int(g.edge_rc[i])
+                f.write(f">{i}_{rc}\n{_s(g.get_seq(i))}\n")
+                mark[rc] = True
+    log.info("bridging done: dump=%d trivial=%d path=%d no-path=%d",
+             n_types[0], n_types[1], n_types[2], n_types[3])
+    return out_fa
+
+
+def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):
+    cache = os.path.join(out_dir, f"local_assembly_{int(g.edge_rc[e1])}_{e2}",
+                         f"graph_k_{cfg.lk}_local_lvl_1.bin")
+    lg = None
+    if os.path.exists(cache):
+        lg = asmg.load_graph(cache)
+    else:
+        lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2)
+        if lg is not None:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            asmg.save_graph(lg, cache)
+    if lg is None or lg.n_e == 0:
+        return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, e1, e2)
+    emap1 = L.get_local_edge_head(g, lg, e1)
+    emap2 = L.get_local_edge_tail(g, lg, e2)
+    local_reads = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
+    return try_bridging(cfg, g, lg, scaffolds, emap1, emap2, local_reads)
+
+
+def _merge_bridges(g: AsmGraph, path: List[int], bridged: List[str]) -> str:
+    """Concatenate per-gap bridge sequences, trimming the shared contig
+    between consecutive bridges (reference print_bridges
+    build_bridge.c:916-934: suffix-match the next contig against the
+    bridge to find the replace point)."""
+    out = []
+    last_replace = 0
+    for j in range(1, len(path)):
+        seq = _s(g.get_seq(path[j]))
+        b = bridged[j - 1]
+        p_org, p_bridge = len(seq), len(b)
+        while p_org > 0 and p_bridge > 0 and seq[p_org - 1] == b[p_bridge - 1]:
+            p_org -= 1
+            p_bridge -= 1
+        if j + 1 < len(path):
+            b = b[:p_bridge]
+        out.append(b[last_replace:])
+        last_replace = p_org
+    return "".join(out)

@@ -1,0 +1,227 @@
+"""Batched minimizer extraction, edge index, and read->edge voting.
+
+Scheme mirrors the reference (src/minimizers/minimizers.c):
+  - k=17, w=17 (src/attribute.h:20-21), forward strand only (edges come
+    in rc pairs, so reverse reads vote for the rc edge — same as
+    mm_index_bin_str which never canonicalizes);
+  - within each window the (leftmost) minimum-hash k-mer is a
+    minimizer (mm_index_bin_str :413-460);
+  - the edge database keeps, per minimizer, its first (edge, pos) and
+    an occurrence count; only count==1 ("singleton") minimizers vote
+    (mm_db_edge_insert :543-558, mm_hits_cmp :630-650);
+  - a read's hit counts per edge are tallied; the read maps to the
+    argmax edge, discarded as ambiguous when tied (mm_align :710-780).
+
+Vectorization: minimizer selection is w shifted vector ops over the
+(B, P) hash matrix; database lookup is a multi-limb binary search; the
+per-(read, edge) tally is a tile sort + run-length pass — all device
+ops with fixed shapes, no hash tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.structs import AsmGraph
+from ..ops import limbs as lb
+from ..ops import sortops as so
+
+MM_K = 17       # MINIMIZERS_KMER (reference src/attribute.h:21)
+MM_W = 17       # MINIMIZERS_WINDOW (reference src/attribute.h:20)
+NL = lb.n_limbs(MM_K)  # 2 limbs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def minimizer_mask(bases, lengths, k: int = MM_K, w: int = MM_W):
+    """Minimizer positions of each (forward-strand) sequence.
+
+    bases: (B, L) uint8 codes (>=4 invalid), lengths (B,).
+    Returns (kmers (B, P, NL) uint32, hashes (B, P) uint32,
+    is_mm (B, P) bool) with P = L - k + 1; is_mm marks positions whose
+    k-mer is the leftmost window minimum of at least one complete
+    window that lies inside the read.
+    """
+    B, L = bases.shape
+    P = L - k + 1
+    from ..ops import kmers as kmod
+    km = kmod._pack_windows(bases, k)                      # (B, P, NL)
+    valid = kmod.window_validity(bases, lengths, k)        # (B, P)
+    h = lb.hash_limbs(km.reshape(B * P, NL)).reshape(B, P)
+    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
+
+    W = L - k - w + 2  # number of windows
+    if W <= 0:
+        return km, h, jnp.zeros((B, P), bool)
+    # stack w shifted views: windows[i] covers positions i..i+w-1
+    shifts = [jax.lax.dynamic_slice_in_dim(h, j, W, axis=1) for j in range(w)]
+    stack = jnp.stack(shifts, axis=-1)                     # (B, W, w)
+    amin = jnp.argmin(stack, axis=-1)                      # leftmost min
+    wpos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    mmpos = wpos + amin.astype(jnp.int32)                  # (B, W)
+    # window must fit inside the read: start + w + k - 1 <= length
+    w_ok = (wpos + w + k - 1) <= lengths[:, None]
+    is_mm = jnp.zeros((B, P), bool)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], mmpos.shape)
+    safe_pos = jnp.where(w_ok, mmpos, 0)
+    is_mm = is_mm.at[bidx.reshape(-1), safe_pos.reshape(-1)].max(
+        w_ok.reshape(-1))
+    is_mm = is_mm & valid
+    return km, h, is_mm
+
+
+@dataclass
+class EdgeMinimizerIndex:
+    """Sorted minimizer table over all live edges of a graph."""
+    keys: np.ndarray        # (M, NL) uint32 sorted unique minimizer k-mers
+    edge: np.ndarray        # (M,) int32 first edge containing the key
+    pos: np.ndarray         # (M,) int32 position on that edge
+    count: np.ndarray       # (M,) int32 total occurrences
+    k: int = MM_K
+    w: int = MM_W
+
+    @property
+    def singleton(self) -> np.ndarray:
+        return self.count == 1
+
+    @classmethod
+    def build(cls, g: AsmGraph, k: int = MM_K, w: int = MM_W,
+              batch_bp: int = 2_000_000) -> "EdgeMinimizerIndex":
+        """Index every live edge (reference mm_index_edges :605-621).
+
+        Edges are packed into padded batches by length bucket to bound
+        recompilation; per-edge minimizers stream into one host table
+        that is then sorted + run-length encoded.
+        """
+        lens = g.edge_len()
+        live = [int(e) for e in np.flatnonzero(g.alive_mask())
+                if lens[e] >= k + w - 1]
+        all_rows = []
+        # bucket edges by padded length (powers of two)
+        by_bucket = {}
+        for e in live:
+            L = int(lens[e])
+            b = 1 << max(8, int(np.ceil(np.log2(L + 1))))
+            by_bucket.setdefault(b, []).append(e)
+        for Lpad, edges in sorted(by_bucket.items()):
+            bs = max(1, batch_bp // Lpad)
+            for i in range(0, len(edges), bs):
+                chunk = edges[i : i + bs]
+                mat = np.full((len(chunk), Lpad), 255, np.uint8)
+                elen = np.zeros(len(chunk), np.int32)
+                for j, e in enumerate(chunk):
+                    s = g.get_seq(e)
+                    mat[j, : len(s)] = s
+                    elen[j] = len(s)
+                km, h, is_mm = minimizer_mask(mat, elen, k, w)
+                km = np.asarray(km)
+                is_mm = np.asarray(is_mm)
+                for j, e in enumerate(chunk):
+                    ps = np.flatnonzero(is_mm[j])
+                    if len(ps) == 0:
+                        continue
+                    rows = np.empty((len(ps), NL + 2), np.uint32)
+                    rows[:, :NL] = km[j, ps]
+                    rows[:, NL] = e
+                    rows[:, NL + 1] = ps
+                    all_rows.append(rows)
+        if not all_rows:
+            z = np.zeros((0, NL), np.uint32)
+            return cls(z, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                       np.zeros(0, np.int32), k, w)
+        rows = np.concatenate(all_rows)
+        order = lb.np_lexsort_rows(rows[:, :NL])
+        rows = rows[order]
+        starts = np.ones(len(rows), bool)
+        starts[1:] = np.any(rows[1:, :NL] != rows[:-1, :NL], axis=1)
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, len(rows))).astype(np.int32)
+        return cls(
+            keys=np.ascontiguousarray(rows[idx, :NL]),
+            edge=rows[idx, NL].astype(np.int32),
+            pos=rows[idx, NL + 1].astype(np.int32),
+            count=counts, k=k, w=w)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
+    """Per-read best-edge vote.  Returns (best_edge (B,) int32 [-1 if
+    unmapped/ambiguous], best_hits (B,) int32, est_start (B,) int32)."""
+    B, L = bases.shape
+    km, h, is_mm = minimizer_mask(bases, lengths, k, w)
+    P = km.shape[1]
+    flat = km.reshape(B * P, NL)
+    idx, found = so.searchsorted_limbs(keys, flat)
+    found = found & is_mm.reshape(-1)
+    hit_sing = found & (count[idx] == 1)
+    hit_edge = jnp.where(hit_sing, edge[idx], jnp.int32(-1))
+    hit_pos = pos[idx]
+
+    # tally per (read, edge): sort (read, edge) pairs and run-length
+    read_id = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+    key_r = jnp.where(hit_sing, read_id, jnp.int32(B))        # invalid -> end
+    key_e = jnp.where(hit_sing, hit_edge, jnp.int32(0x7FFFFFFF))
+    p_read = jnp.tile(jnp.arange(P, dtype=jnp.int32), (B,))
+    start_est = jnp.maximum(hit_pos - p_read, 0)
+    sk_r, sk_e, s_start = jax.lax.sort(
+        (key_r, key_e, start_est), dimension=0, num_keys=2, is_stable=False)
+    newrun = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (sk_r[1:] != sk_r[:-1]) | (sk_e[1:] != sk_e[:-1])])
+    seg = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    n = B * P
+    run_cnt = jax.ops.segment_sum((sk_r < B).astype(jnp.int32), seg,
+                                  num_segments=n)
+    run_read = jnp.zeros((n,), jnp.int32).at[seg].set(sk_r)
+    run_edge = jnp.zeros((n,), jnp.int32).at[seg].set(sk_e)
+    run_start = jnp.full((n,), jnp.int32(1 << 30)).at[seg].min(s_start)
+
+    # per read: max count, tie detection
+    valid_run = run_cnt > 0
+    r = jnp.where(valid_run, run_read, B)
+    best = jnp.zeros((B + 1,), jnp.int32).at[r].max(run_cnt)
+    n_best = jax.ops.segment_sum(
+        (valid_run & (run_cnt == best[r])).astype(jnp.int32), r,
+        num_segments=B + 1)
+    is_best = valid_run & (run_cnt == best[r]) & (n_best[r] == 1)
+    best_edge = jnp.full((B + 1,), jnp.int32(-1)).at[r].max(
+        jnp.where(is_best, run_edge, -1))
+    best_start = jnp.full((B + 1,), jnp.int32(1 << 30)).at[r].min(
+        jnp.where(is_best, run_start, 1 << 30))
+    return (best_edge[:B], best[:B], jnp.where(best_edge[:B] >= 0,
+                                               best_start[:B], -1))
+
+
+def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
+              lengths: np.ndarray, batch_size: int = 8192):
+    """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
+    n_hits (N,), est_start (N,))."""
+    N = len(bases)
+    edges = np.full(N, -1, np.int32)
+    hits = np.zeros(N, np.int32)
+    starts = np.full(N, -1, np.int32)
+    if len(index.keys) == 0:
+        return edges, hits, starts
+    keys = jnp.asarray(index.keys)
+    edge = jnp.asarray(index.edge)
+    pos = jnp.asarray(index.pos)
+    count = jnp.asarray(index.count)
+    for i in range(0, N, batch_size):
+        rb = bases[i : i + batch_size]
+        lb_ = lengths[i : i + batch_size]
+        if len(rb) < batch_size:
+            pad = batch_size - len(rb)
+            rb = np.concatenate([rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
+            lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
+        be, bh, bs = _map_batch(rb, lb_, keys, edge, pos, count,
+                                index.k, index.w)
+        m = min(batch_size, N - i)
+        edges[i : i + m] = np.asarray(be)[:m]
+        hits[i : i + m] = np.asarray(bh)[:m]
+        starts[i : i + m] = np.asarray(bs)[:m]
+    return edges, hits, starts

@@ -58,10 +58,11 @@ def _genomic_batches(cfg: Config, batch_size: int = 4096, pad_to: int = 256):
     (reference get_barcode_10x, src/sort_read.c:62-79) — trimmed here
     before counting."""
     from .config import LIB_TYPE_10X
+    from .io.native_loader import read_fastq_batches_native
     for i, path in enumerate(list(cfg.files_1) + list(cfg.files_2)):
         is_r1 = i < len(cfg.files_1)
-        for b in read_fastq_batches(path, batch_size=batch_size, pad_to=pad_to):
-            bases, lengths = b.bases, b.lengths
+        for bases, lengths, _ in read_fastq_batches_native(
+                path, batch_size=batch_size, pad_to=pad_to):
             if cfg.lib_type == LIB_TYPE_10X and is_r1:
                 bases = bases[:, 23:]
                 lengths = np.maximum(lengths - 23, 0)
