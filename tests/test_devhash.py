@@ -1,0 +1,51 @@
+"""Device hash counter vs the sort-based engines."""
+
+import numpy as np
+import pytest
+
+from turingassembler_tpu import testing as tt
+from turingassembler_tpu.kmer.count import count_kedges_from_reads
+from turingassembler_tpu.ops import limbs as lb
+from turingassembler_tpu.ops.devhash import DeviceHashCounter
+
+rng = np.random.default_rng(0)
+
+
+def test_hash_counter_oracle():
+    nl = 3
+    pool = rng.integers(0, 2**32, (300, nl), dtype=np.uint32)
+    counter = DeviceHashCounter(12, nl)  # 4096 slots
+    want = {}
+    for _ in range(5):
+        picks = rng.integers(0, 300, 2000)
+        kmers = pool[picks]
+        valid = rng.random(2000) < 0.9
+        counter.insert(kmers, valid)
+        for i in np.flatnonzero(valid):
+            want[tuple(kmers[i])] = want.get(tuple(kmers[i]), 0) + 1
+    keys, counts = counter.finalize()
+    got = {tuple(keys[i]): int(counts[i]) for i in range(len(keys))}
+    assert got == want
+    # sorted
+    for i in range(1, len(keys)):
+        assert tuple(keys[i - 1]) < tuple(keys[i])
+
+
+def test_hash_counter_overflow():
+    nl = 2
+    counter = DeviceHashCounter(6, nl)  # 64 slots
+    kmers = rng.integers(0, 2**32, (1000, nl), dtype=np.uint32)
+    counter.insert(kmers, np.ones(1000, bool))
+    with pytest.raises(RuntimeError, match="overflow"):
+        counter.finalize()
+
+
+def test_hash_engine_matches_np_engine(monkeypatch):
+    monkeypatch.setenv("TA_HASH_CAP_LOG2", "18")
+    genome = tt.random_genome(3000, seed=5)
+    reads, lengths = tt.sim_reads(genome, coverage=20.0, read_len=100, seed=8)
+    k = 31
+    ke1, c1 = count_kedges_from_reads(reads, lengths, k, engine="np")
+    ke2, c2 = count_kedges_from_reads(reads, lengths, k, engine="hash")
+    np.testing.assert_array_equal(ke1, ke2)
+    np.testing.assert_array_equal(c1, c2)

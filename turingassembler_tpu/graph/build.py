@@ -78,27 +78,32 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
         return AsmGraph(ksize=k)
 
     # ------------------------------------------------------------------
-    # decode and derive prefix/suffix canonical node keys
-    kb = lb.np_unpack_limbs(kedges, k + 1)          # (n, k+1) uint8
-    first = kb[:, 0].astype(np.uint8)
-    last = kb[:, k].astype(np.uint8)
+    # derive prefix/suffix canonical node keys (pure bitwise limb ops —
+    # no per-base decode of the full table)
+    first = lb.np_base_at(kedges, 0)
+    last = lb.np_base_at(kedges, k)
 
-    pre = lb.np_pack_bases(kb[:, :k], k)
-    suf = lb.np_pack_bases(kb[:, 1:], k)
-    pre_rc = lb.np_revcomp_limbs(pre, k)
-    suf_rc = lb.np_revcomp_limbs(suf, k)
+    pre, suf = lb.np_split_kedge(kedges, k)
+    pre_rc = lb.np_revcomp_limbs_fast(pre, k)
+    suf_rc = lb.np_revcomp_limbs_fast(suf, k)
     o_pre = lb.np_lex_lt(pre_rc, pre)               # True: canonical is RC
     o_suf = lb.np_lex_lt(suf_rc, suf)
     cpre = np.where(o_pre[:, None], pre_rc, pre)
     csuf = np.where(o_suf[:, None], suf_rc, suf)
 
-    # unique canonical k-mers -> dense ids
+    # unique canonical k-mers -> dense ids (lexsort + boundary scan is
+    # markedly faster than np.unique on a void view at multi-M rows)
     allk = np.concatenate([cpre, csuf], axis=0)
-    view = _void_view(allk)
-    uniq, inv = np.unique(view, return_inverse=True)
-    m = len(uniq)
-    node_pre = inv[:n].astype(np.int64)
-    node_suf = inv[n:].astype(np.int64)
+    order = lb.np_lexsort_rows(allk)
+    sorted_k = allk[order]
+    starts = np.ones(len(sorted_k), bool)
+    np.any(sorted_k[1:] != sorted_k[:-1], axis=1, out=starts[1:])
+    gid_sorted = np.cumsum(starts) - 1
+    m = int(gid_sorted[-1]) + 1 if len(gid_sorted) else 0
+    inv = np.empty(2 * n, np.int64)
+    inv[order] = gid_sorted
+    node_pre = inv[:n]
+    node_suf = inv[n:]
 
     # ------------------------------------------------------------------
     # adjacency nibbles: out-edges of directed k-mer (i, o) at slot i*8+o*4+b
@@ -166,19 +171,21 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     total = int(seq_off[-1])
     seq_data = np.zeros(total, np.uint8)
 
-    # head contributes its first k bases; every directed k-edge its last base
+    # head contributes its first k bases; every directed k-edge its last
+    # base.  Only head k-edges need decoding to bases (a small subset).
     e_of_d = np.concatenate([np.arange(n), np.arange(n)])
-    rkb = (3 - kb)[:, ::-1]
     head_e = e_of_d[head_ids]
     head_is_rc = head_ids >= n
-    head_firstk = np.where(head_is_rc[:, None], rkb[head_e, :k], kb[head_e, :k])
+    kb_heads = lb.np_unpack_limbs(kedges[head_e], k + 1)
+    rkb_heads = (3 - kb_heads)[:, ::-1]
+    head_firstk = np.where(head_is_rc[:, None], rkb_heads[:, :k], kb_heads[:, :k])
     base_idx = seq_off[:-1][:, None] + np.arange(k)[None, :]
     seq_data[base_idx.ravel()] = head_firstk.astype(np.uint8).ravel()
     seq_data[seq_off[u_of] + k + dist] = lastbase
 
     # counts: sum of k-edge counts along the unitig
     ecount = np.zeros(n_edges, np.int64)
-    np.add.at(ecount, u_of, counts[e_of_d % n] if False else counts[e_of_d])
+    np.add.at(ecount, u_of, counts[e_of_d])
 
     # rc pairing: rc unitig of u = unitig of rc(tail(u))
     tails = np.flatnonzero(nxt < 0)

@@ -50,18 +50,60 @@ def count_kedges_from_batches(
     batches: Iterable[Tuple[np.ndarray, np.ndarray]],
     k: int,
     min_count: int = 1,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Count canonical (k+1)-mers over an iterable of (bases, lengths)
     batches.  Returns (kedges (n, nl) uint32 sorted unique, counts (n,)
-    int64), filtered to count >= min_count."""
+    int64), filtered to count >= min_count.
+
+    engine:
+      "hash"   — vectorized open-addressing device hash table
+                 (ops/devhash.py): no sort in the hot loop; the TPU path;
+      "device" — per-batch tile sort + LSM merges on the accelerator
+                 (kept for the mesh-sharded variant and comparison);
+      "np"     — per-batch device RLE, host numpy lexsort merge (fast
+                 for the small jobs: local assemblies, tests);
+      "auto"   — "np" on the CPU backend, "hash" otherwise.
+    """
+    if engine == "auto":
+        engine = "np" if jax.default_backend() == "cpu" else "hash"
     k1 = k + 1
-    acc = DeviceCountAccumulator()
-    for bases, lengths in batches:
-        keys, counts, _ = batch_count_tile(
-            jnp.asarray(np.ascontiguousarray(bases)),
-            jnp.asarray(np.ascontiguousarray(lengths)), k1)
-        acc.add_run(keys, counts)
-    kedges, counts = acc.finalize()
+    if engine == "hash":
+        from ..ops import limbs as lbops
+        from ..ops.devhash import DeviceHashCounter
+        counter = None
+        cap_log2 = int(__import__("os").environ.get("TA_HASH_CAP_LOG2", 25))
+        for bases, lengths in batches:
+            canon, _, valid = km.extract_canonical_kmers(
+                jnp.asarray(np.ascontiguousarray(bases)),
+                jnp.asarray(np.ascontiguousarray(lengths)), k1)
+            flat = canon.reshape(-1, canon.shape[-1])
+            vflat = valid.reshape(-1)
+            if counter is None:
+                counter = DeviceHashCounter(cap_log2, flat.shape[-1])
+            counter.insert(flat, vflat)
+        if counter is None:
+            return np.zeros((0, lbops.n_limbs(k1)), np.uint32), np.zeros(0, np.int64)
+        out_log2 = int(__import__("os").environ.get("TA_HASH_OUT_LOG2",
+                                                    max(cap_log2 - 2, 10)))
+        kedges, counts = counter.finalize(out_cap_log2=out_log2)
+    elif engine == "device":
+        acc = DeviceCountAccumulator()
+        for bases, lengths in batches:
+            keys, counts, _ = batch_count_tile(
+                jnp.asarray(np.ascontiguousarray(bases)),
+                jnp.asarray(np.ascontiguousarray(lengths)), k1)
+            acc.add_run(keys, counts)
+        kedges, counts = acc.finalize()
+    else:
+        runs = []
+        for bases, lengths in batches:
+            keys, cnts, n_unique = batch_count_tile(
+                jnp.asarray(np.ascontiguousarray(bases)),
+                jnp.asarray(np.ascontiguousarray(lengths)), k1)
+            n = int(n_unique)
+            runs.append((np.asarray(keys[:n]), np.asarray(cnts[:n], np.int64)))
+        kedges, counts = so.np_merge_count_runs(runs)
     if min_count > 1 and len(counts):
         keep = counts >= min_count
         kedges, counts = kedges[keep], counts[keep]
@@ -70,7 +112,7 @@ def count_kedges_from_batches(
 
 def count_kedges_from_reads(
     reads: np.ndarray, lengths: np.ndarray, k: int,
-    batch_size: int = 8192, min_count: int = 1,
+    batch_size: int = 8192, min_count: int = 1, engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Convenience wrapper: chunk a read matrix into batches and count.
 
@@ -85,4 +127,4 @@ def count_kedges_from_reads(
                 rb = np.concatenate([rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
                 lb = np.concatenate([lb, np.zeros(pad, np.int32)])
             yield rb, lb
-    return count_kedges_from_batches(gen(), k, min_count=min_count)
+    return count_kedges_from_batches(gen(), k, min_count=min_count, engine=engine)

@@ -121,8 +121,9 @@ def build_local_graph(cfg: Config, g: AsmGraph, rpath: ReadPath, bc_index,
     bases = np.concatenate([bases, fl])
     lengths = np.concatenate([lengths, fllen])
 
+    # local jobs are tiny: host merge beats device LSM regardless of backend
     kedges, counts = count_kedges_from_reads(bases, lengths, lk,
-                                             batch_size=4096)
+                                             batch_size=4096, engine="np")
     if len(kedges) == 0:
         return None
     lg = build_graph_from_kedges(kedges, counts, lk)
