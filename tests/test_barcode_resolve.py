@@ -1,0 +1,78 @@
+"""Barcode-guided 2-2 bridge resolution."""
+
+import numpy as np
+import pytest
+
+from turingassembler_tpu import testing as tt
+from turingassembler_tpu.graph.build import build_graph_from_kedges
+from turingassembler_tpu.graph.invariants import check_graph
+from turingassembler_tpu.kmer.count import count_kedges_from_reads
+from turingassembler_tpu.resolve.barcodes import resolve_n_m_simple
+
+
+def test_2_2_high_strict_resolution():
+    rng = np.random.default_rng(7)
+    A0 = rng.integers(0, 4, 3500).astype(np.uint8)
+    A1 = rng.integers(0, 4, 3500).astype(np.uint8)
+    B0 = rng.integers(0, 4, 3500).astype(np.uint8)
+    B1 = rng.integers(0, 4, 3500).astype(np.uint8)
+    R = rng.integers(0, 4, 300).astype(np.uint8)
+    h0 = np.concatenate([A0, R, B0])
+    h1 = np.concatenate([A1, R, B1])
+    k = 21
+    r0, l0 = tt.sim_reads(h0, coverage=30, read_len=100, seed=1)
+    r1, l1 = tt.sim_reads(h1, coverage=30, read_len=100, seed=2)
+    ke, c = count_kedges_from_reads(np.concatenate([r0, r1]),
+                                    np.concatenate([l0, l1]), k)
+    g = build_graph_from_kedges(ke, c, k)
+    check_graph(g)
+    assert g.n_e == 10  # 4 legs + mid, x rc
+
+    # fabricate barcode aux info: haplotype 0 barcodes 0..149 on A0/B0
+    # edges, haplotype 1 barcodes 150..299 on A1/B1, mid edge gets a mix
+    def which(e):
+        s = tt.codes_to_str(g.get_seq(e))
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rc = "".join(comp[ch] for ch in reversed(s))
+        for name, hap in (("A0", A0), ("A1", A1), ("B0", B0), ("B1", B1)):
+            hs = tt.codes_to_str(hap)
+            if s[50:-50] and (s[50:-50] in hs or rc[50:-50] in hs):
+                return name
+        return "R"
+
+    g.barcodes = [[{}, {}, {}] for _ in range(g.n_e)]
+    g.barcodes_scaf = [{} for _ in range(g.n_e)]
+    g.barcodes_cov = [{} for _ in range(g.n_e)]
+    g.aux_flag |= 1
+    bsets = {
+        "A0": {i: 1 for i in range(0, 150)},
+        "B0": {i: 1 for i in range(0, 150)},
+        "A1": {i: 1 for i in range(150, 300)},
+        "B1": {i: 1 for i in range(150, 300)},
+        "R": {i: 1 for i in range(0, 300, 10)},
+    }
+    labels = {}
+    for e in range(g.n_e):
+        w = which(e)
+        labels[e] = w
+        for lvl in range(3):
+            g.barcodes[e][lvl] = dict(bsets[w])
+    assert sorted(labels.values()).count("R") == 2
+
+    g2 = resolve_n_m_simple(g)
+    check_graph(g2, check_seq=True)
+    seqs = [tt.codes_to_str(g2.get_seq(e))
+            for e in range(g2.n_e) if g2.edge_source[e] >= 0]
+    # haplotypes reconstructed end to end
+    h0s, h1s = tt.codes_to_str(h0), tt.codes_to_str(h1)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def found(h):
+        for s in seqs:
+            rc = "".join(comp[c] for c in reversed(s))
+            if s[50:-50] and (s[50:-50] in h or rc[50:-50] in h):
+                if len(s) >= len(h) - 200:
+                    return True
+        return False
+
+    assert found(h0s) and found(h1s)

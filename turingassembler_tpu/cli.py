@@ -143,6 +143,83 @@ def cmd_local_assembly(cfg: Config):
     build_bridge(cfg, g, rpath, scaf)
 
 
+@command("resolve_n_m")
+def cmd_resolve_n_m(cfg: Config):
+    """Barcode-guided n-m bridge resolution on an added_barcode graph
+    (reference resolve_n_m_simple / resolve_complex entry points)."""
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.barcodes import resolve_n_m_bridges, resolve_n_m_simple
+    set_log_stage("resolve_n_m")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_n_m_simple(g)
+    g = resolve_n_m_bridges(g)
+    save_graph_info(g, cfg.out_dir, "n_m_resolved")
+
+
+@command("build_coverage")
+def cmd_build_coverage(cfg: Config):
+    """k=31 coverage recount (reference build_coverage_process)."""
+    from .io import asmg
+    from .kmer.coverage import recount_coverage
+    from .pipeline import _all_reads_matrix, graph_path
+    set_log_stage("build_coverage")
+    g = asmg.load_graph(cfg.in_file)
+    reads, lengths = _all_reads_matrix(cfg)
+    g = recount_coverage(g, reads, lengths)
+    asmg.save_graph(g, graph_path(cfg.out_dir, g.ksize, "recount"))
+
+
+@command("count_bx")
+def cmd_count_bx(cfg: Config):
+    from .barcode.frequency import count_bx_freq
+    set_log_stage("count_bx")
+    print(count_bx_freq(cfg))
+
+
+@command("reduce_reads")
+def cmd_reduce_reads(cfg: Config):
+    from .barcode.frequency import reduce_reads
+    from .graph.from_contigs import graph_from_contigs
+    from .io.fasta import read_fasta
+    set_log_stage("reduce_reads")
+    contigs = graph_from_contigs([s for _, s in read_fasta(cfg.in_fasta)],
+                                 cfg.k0)
+    for o1, o2 in reduce_reads(cfg, contigs):
+        print(o1, o2)
+
+
+@command("get_rp_count")
+def cmd_get_rp_count(cfg: Config):
+    """Dump read-pair edge-pair counts (reference get_rp_count cmd)."""
+    import os
+    from .barcode.builder import get_read_pair_counts
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    set_log_stage("get_rp_count")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    counts = get_read_pair_counts(cfg, g, rpath)
+    out = os.path.join(cfg.out_dir, "readpair_counts.txt")
+    with open(out, "w") as fp:
+        for (e1, e2), c in sorted(counts.items()):
+            fp.write(f"{e1} {e2} {c}\n")
+    print(out)
+
+
+@command("barcode_graph")
+def cmd_barcode_graph(cfg: Config):
+    """Molecule analysis: barcode digraph -> molecules.fasta (reference
+    debug_get_barcode_graph / split_molecules paths)."""
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .scaffold.molecules import molecule_contigs
+    set_log_stage("barcode_graph")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    print(molecule_contigs(cfg, g, rpath))
+
+
 @command("bin2text")
 def cmd_bin2text(cfg: Config):
     """Graph round-trip debug dump (reference process.c:31-45)."""

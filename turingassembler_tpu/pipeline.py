@@ -128,11 +128,16 @@ def assembly_basic(cfg: Config) -> AsmGraph:
     return g
 
 
-def assembly3(cfg: Config) -> str:
+def assembly3(cfg: Config, extend: bool = True) -> str:
     """Full pipeline -> scaffold path file (reference assembly3_process
-    process.c:585-701).  Returns the final fasta path."""
+    process.c:585-701).  Returns the final fasta path.
+
+    Stage order mirrors the reference: graph levels 0-2, read sort,
+    read-pair counting + greedy extension into graph_k_<k>_extend.fasta,
+    reload as a contig graph, k=31 coverage recount, barcode aux info,
+    scaffolding, and per-gap local-assembly bridging."""
     from .barcode.sort_read import sort_reads
-    from .barcode.builder import construct_aux_info
+    from .barcode.builder import construct_aux_info, get_read_pair_counts
     from .scaffold.scaffolding import scaffolding as scaffold_stage
     from .localasm.bridge import build_bridge
 
@@ -141,6 +146,23 @@ def assembly3(cfg: Config) -> str:
 
     rpath = sort_reads(cfg)
     log.info("sorted read archive: %s", rpath.idx_path)
+
+    if extend and int(g.alive_mask().sum()) > 2:
+        from .graph.from_contigs import graph_from_contigs
+        from .io.fasta import read_fasta
+        from .kmer.coverage import recount_coverage
+        from .mapper.minimizers import EdgeMinimizerIndex
+        from .resolve.readpairs import get_long_contigs_by_readpairs
+
+        rp_counts = get_read_pair_counts(cfg, g, rpath)
+        ext_path = graph_path(out_dir, cfg.k0, "extend", "fasta")
+        get_long_contigs_by_readpairs(g, rp_counts, ext_path)
+        seqs = [s for _, s in read_fasta(ext_path)]
+        if seqs:
+            g = graph_from_contigs(seqs, cfg.k0)
+            reads, lengths = _all_reads_matrix(cfg)
+            g = recount_coverage(g, reads, lengths)
+            check_graph(g, check_seq=False)
 
     g = construct_aux_info(cfg, g, rpath)
     asmg.save_graph(g, graph_path(out_dir, cfg.k0, "added_barcode"))
@@ -151,3 +173,13 @@ def assembly3(cfg: Config) -> str:
     final = build_bridge(cfg, g, rpath, scaf_path)
     log.info("final assembly: %s", final)
     return final
+
+
+def _all_reads_matrix(cfg: Config, pad_to: int = 256):
+    """Materialize all genomic reads as one padded matrix (coverage
+    recount input; bacterial scale fits easily in RAM)."""
+    mats, lens = [], []
+    for bases, lengths in _genomic_batches(cfg, pad_to=pad_to):
+        mats.append(bases)
+        lens.append(lengths)
+    return np.concatenate(mats), np.concatenate(lens)

@@ -1,0 +1,275 @@
+"""Barcode-guided n-m bridge resolution — rebuild of src/barcode_resolve2.c.
+
+A bridge edge e with n in-legs and m out-legs is resolved by pairing
+legs whose barcode sets look connected:
+
+  get_max_barcode_set (:193-202)  pick lvl0/1/2 set by contig length
+                                  (>=200/500/3000 bp)
+  check_barcode_positive (:208)   shared/min(|h1|,|h2|) >= 0.044
+                                  (MIN_BARCODE_RATIO assembly_graph.h:132)
+  check_barcode_superior (:223)   share(1,2) > 2*share(1,2a)
+  check_barcode_greater  (:253)   share(1,2) > share(1,2a)
+  callibrate_uni_cov (:162)       local unit coverage from legs within
+                                  0.75-1.25x of the global estimate
+  check_2_2_high_strict (:534)    2-in/2-out: mutual superiority + both
+                                  pairings positive + compatible
+                                  coverage ranges -> two join_edge3
+  check_n_m_bridge (:819)         general n-m: repeatedly pair legs via
+                                  bc_find_pair (best + uniquely superior)
+                                  with compatible coverage; leftover
+                                  1-1 joined if positive; bridge removed
+  resolve_n_m_simple (:1389)      fixpoint driver + condense
+
+Coverage-range plumbing (convert_cov_range / __check_coverage) follows
+assembly_graph.h:168-215.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..graph.condense import asm_condense
+from ..graph.mutable import MutableGraph
+from ..graph.structs import AsmGraph
+from .basic import _convert_cov_range
+
+CONTIG_USE_BARCODE = 200   # assembly_graph.h:111
+CONTIG_LEVEL_0 = 500
+CONTIG_LEVEL_1 = 3000
+MIN_BARCODE_RATIO = 0.044  # assembly_graph.h:132
+MIN_CONTIG_READPAIR = 500  # assembly_graph.h:125
+EPS = 1e-6
+
+
+def _check_coverage(f1, f2, r1, r2):
+    """__check_coverage (assembly_graph.h:174-176)."""
+    intersect = r1[0] <= r2[1] and r2[0] <= r1[1]
+    return intersect and abs(f1 - f2) < 0.3
+
+
+class BarcodeResolver:
+    def __init__(self, g: MutableGraph):
+        self.g = g
+
+    # -- barcode set helpers ------------------------------------------------
+    def _bc_set(self, e: int, length: int) -> Optional[Dict[int, int]]:
+        if length < CONTIG_USE_BARCODE:
+            return None
+        ed = self.g.edges[e]
+        if ed.barcodes is None:
+            return None
+        if length < CONTIG_LEVEL_0:
+            return ed.barcodes[0]
+        if length < CONTIG_LEVEL_1:
+            return ed.barcodes[1]
+        return ed.barcodes[2]
+
+    def positive(self, e1: int, e2: int) -> int:
+        length = min(self.g.edges[e1].seq_len, self.g.edges[e2].seq_len)
+        h1 = self._bc_set(e1, length)
+        h2 = self._bc_set(e2, length)
+        if h1 is None or h2 is None or not h1 or not h2:
+            return -1
+        shared = sum(1 for k in h1 if k in h2)
+        ratio = shared / min(len(h1), len(h2))
+        return int(ratio + EPS > MIN_BARCODE_RATIO)
+
+    def _shares(self, e1: int, e2: int, e2a: int):
+        h1 = self._bc_set(e1, self.g.edges[e1].seq_len)
+        len2 = min(self.g.edges[e2].seq_len, self.g.edges[e2a].seq_len)
+        h2 = self._bc_set(e2, len2)
+        h2a = self._bc_set(e2a, len2)
+        if h1 is None or h2 is None or h2a is None:
+            return None
+        s12 = sum(1 for k in h1 if k in h2)
+        s12a = sum(1 for k in h1 if k in h2a)
+        return s12, s12a
+
+    def superior(self, e1: int, e2: int, e2a: int) -> int:
+        s = self._shares(e1, e2, e2a)
+        if s is None:
+            return -1
+        return int(s[0] > s[1] * 2)
+
+    def greater(self, e1: int, e2: int, e2a: int) -> int:
+        s = self._shares(e1, e2, e2a)
+        if s is None:
+            return -1
+        return int(s[0] > s[1])
+
+    # -- coverage helpers ---------------------------------------------------
+    def _calibrate(self, legs: List[int], uni_cov: float) -> float:
+        s, c = 0.0, 0
+        for e in legs:
+            cov = self.g.edge_cov(e)
+            if 0.75 < cov / uni_cov < 1.25:
+                s += cov
+                c += 1
+        return s / c if c else uni_cov
+
+    # -- 2-2 bridge ---------------------------------------------------------
+    def check_2_2_high_strict(self, e: int, uni_cov: float) -> int:
+        g = self.g
+        e_rc = g.edges[e].rc_id
+        v = g.edges[e].target
+        u = g.edges[e].source
+        v_rc, u_rc = g.node_rc[v], g.node_rc[u]
+        if (g.deg(u) != 1 or g.deg(v_rc) != 1 or
+                g.deg(u_rc) != 2 or g.deg(v) != 2):
+            return 0
+        legs = [g.node_adj[u_rc][0], g.node_adj[u_rc][1],
+                g.node_adj[v][0], g.node_adj[v][1]]
+        uni = self._calibrate(legs, uni_cov)
+        fcov = [g.edge_cov(x) / uni for x in legs]
+        rcov = [_convert_cov_range(f) for f in fcov]
+
+        for (a, b), (c, d) in (((0, 2), (1, 3)), ((0, 3), (1, 2))):
+            if self.superior(legs[a], legs[b], legs[d]) != 1:
+                continue
+            if (self.superior(legs[c], legs[d], legs[b]) == 0 or
+                    self.superior(legs[b], legs[a], legs[c]) == 0 or
+                    self.superior(legs[d], legs[c], legs[a]) == 0):
+                return 0
+            if (self.positive(legs[a], legs[b]) == 0 or
+                    self.positive(legs[c], legs[d]) == 0):
+                return 0
+            if (not _check_coverage(fcov[a], fcov[b], rcov[a], rcov[b]) or
+                    not _check_coverage(fcov[c], fcov[d], rcov[c], rcov[d])):
+                return 0
+            half = g.edges[e].count // 2
+            g.join_edge3(g.edges[legs[a]].rc_id, e, legs[b], half)
+            g.join_edge3(g.edges[legs[c]].rc_id, e, legs[d], half)
+            g.remove_edge_pair(e)
+            return 2
+        return 0
+
+    # -- n-m bridge ---------------------------------------------------------
+    def _find_pair(self, se: int, adj: List[int]) -> int:
+        ret_e = sec_e = -1
+        for e in adj:
+            if e == se or e == self.g.edges[se].rc_id:
+                continue
+            if self.positive(se, e) == 1:
+                if ret_e == -1 or self.greater(se, e, ret_e) == 1:
+                    sec_e = ret_e
+                    ret_e = e
+                elif sec_e == -1 or self.greater(se, e, sec_e) == 1:
+                    sec_e = e
+        if ret_e == -1:
+            return -1
+        if sec_e != -1 and self.superior(se, ret_e, sec_e) != 1:
+            return -2
+        return ret_e
+
+    def check_n_m_bridge(self, e: int, uni_cov: float) -> int:
+        g = self.g
+        e_rc = g.edges[e].rc_id
+        v = g.edges[e].target
+        u = g.edges[e].source
+        v_rc, u_rc = g.node_rc[v], g.node_rc[u]
+        if (g.deg(u) != 1 or g.deg(v_rc) != 1 or
+                (g.deg(u_rc) < 2 and g.deg(v) < 2)):
+            return 0
+        legs1 = [x for x in g.node_adj[u_rc]
+                 if g.edges[x].seq_len >= CONTIG_USE_BARCODE]
+        legs2 = [x for x in g.node_adj[v]
+                 if g.edges[x].seq_len >= CONTIG_USE_BARCODE]
+        uni = self._calibrate(legs1 + legs2, uni_cov)
+        e_cov = g.edge_cov(e) / uni
+        sub_count = 0
+        ret = 0
+        while True:
+            resolved = False
+            for e1 in list(legs1):
+                f1 = g.edge_cov(e1) / uni
+                r1 = _convert_cov_range(f1)
+                e2 = self._find_pair(e1, legs2)
+                if e2 < 0:
+                    continue
+                f2 = g.edge_cov(e2) / uni
+                r2 = _convert_cov_range(f2)
+                if not _check_coverage(f1, f2, r1, r2):
+                    continue
+                et1 = self._find_pair(e2, legs1)
+                if et1 != -1 and et1 != e1:
+                    continue
+                add = int(g.edges[e].count * (f1 + f2) / 2.0 / max(e_cov, EPS))
+                g.join_edge3(g.edges[e1].rc_id, e, e2, add)
+                legs1.remove(e1)
+                legs2.remove(e2)
+                sub_count += add
+                resolved = True
+                break
+            if not resolved:
+                break
+            ret += 1
+        if sub_count <= g.edges[e].count:
+            g.edges[e].count -= sub_count
+            g.edges[e_rc].count -= sub_count
+        else:
+            g.edges[e].count = g.edges[e_rc].count = 0
+        if g.deg(u_rc) == 1 and g.deg(v) == 1:
+            e1 = g.node_adj[u_rc][0]
+            e2 = g.node_adj[v][0]
+            f1 = g.edge_cov(e1) / uni
+            f2 = g.edge_cov(e2) / uni
+            r1, r2 = _convert_cov_range(f1), _convert_cov_range(f2)
+            ec = g.edge_cov(e) / uni
+            er = _convert_cov_range(ec)
+            if (g.edges[e1].seq_len >= MIN_CONTIG_READPAIR and
+                    g.edges[e2].seq_len >= MIN_CONTIG_READPAIR and
+                    self.positive(e1, e2) == 1 and
+                    _check_coverage(f1, f2, r1, r2) and
+                    _check_coverage(f1, ec, r1, er) and
+                    _check_coverage(f2, ec, r2, er)):
+                g.join_edge3(g.edges[e1].rc_id, e, e2, g.edges[e].count)
+                ret += 1
+            g.remove_edge_pair(e)
+        elif g.deg(u_rc) + g.deg(v) == 1:
+            g.remove_edge_pair(e)
+        return ret
+
+
+def _mean_cov(g: MutableGraph) -> float:
+    num = den = 0.0
+    for e in range(g.n_e):
+        ed = g.edges[e]
+        if ed.source == -1:
+            continue
+        L = max(ed.seq_len - g.ksize, 1)
+        num += g.edge_cov(e) * L
+        den += L
+    return num / den if den else 1.0
+
+
+def resolve_n_m_simple(g: AsmGraph) -> AsmGraph:
+    """Fixpoint over 2-2 high-strict joins, then condense (reference
+    resolve_n_m_simple barcode_resolve2.c:1389-1406; the med/low strict
+    variants of the reference relax superiority to `greater` — covered
+    here by the n-m pairing pass)."""
+    mg = MutableGraph.from_asm(g)
+    res = BarcodeResolver(mg)
+    while True:
+        uni = _mean_cov(mg)
+        cnt = 0
+        for e in range(mg.n_e):
+            if mg.edges[e].source == -1:
+                continue
+            cnt += res.check_2_2_high_strict(e, uni)
+        if cnt == 0:
+            break
+    return asm_condense(mg.to_asm())
+
+
+def resolve_n_m_bridges(g: AsmGraph) -> AsmGraph:
+    """General n-m bridge pass + condense (check_n_m_bridge driver)."""
+    mg = MutableGraph.from_asm(g)
+    res = BarcodeResolver(mg)
+    uni = _mean_cov(mg)
+    for e in range(mg.n_e):
+        if mg.edges[e].source == -1:
+            continue
+        res.check_n_m_bridge(e, uni)
+    return asm_condense(mg.to_asm())
