@@ -220,6 +220,41 @@ def cmd_barcode_graph(cfg: Config):
     print(molecule_contigs(cfg, g, rpath))
 
 
+@command("barcode_hit")
+def cmd_barcode_hit(cfg: Config):
+    """One-barcode debug mapping: fetch the barcode's reads, map them,
+    report hit edges (reference smart_load.c:127-225 / barcode_hit cmd).
+    Pass the barcode sequence via -f."""
+    import numpy as np
+    from .barcode.sort_read import (ReadPath, fetch_reads_by_barcodes,
+                                    load_barcode_index, parse_fastq_blob)
+    from .io import asmg
+    from .io.fastq import NT4, decode_barcode_seq
+    from .mapper.minimizers import EdgeMinimizerIndex, map_reads
+    set_log_stage("barcode_hit")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    index = load_barcode_index(rpath.idx_path)
+    bc = decode_barcode_seq(cfg.in_fasta.encode())
+    blob1, blob2 = fetch_reads_by_barcodes(rpath, index, [bc])
+    mm = EdgeMinimizerIndex.build(g)
+    for blob in (blob1, blob2):
+        _, seqs, _, _ = parse_fastq_blob(blob)
+        if not seqs:
+            continue
+        L = max(len(s) for s in seqs)
+        bases = np.full((len(seqs), L), 255, np.uint8)
+        lens = np.zeros(len(seqs), np.int32)
+        for i, s in enumerate(seqs):
+            arr = NT4[np.frombuffer(s, np.uint8)]
+            bases[i, : len(arr)] = arr
+            lens[i] = len(arr)
+        edges, hits, starts = map_reads(mm, bases, lens)
+        for e in sorted(set(int(x) for x in edges if x >= 0)):
+            n = int((edges == e).sum())
+            print(f"edge {e} ({int(g.edge_rc[e])}): {n} reads")
+
+
 @command("bin2text")
 def cmd_bin2text(cfg: Config):
     """Graph round-trip debug dump (reference process.c:31-45)."""

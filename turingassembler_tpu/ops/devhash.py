@@ -114,17 +114,28 @@ class DeviceHashCounter:
             raise RuntimeError(
                 f"DeviceHashCounter overflow ({ovf} lanes); "
                 f"increase capacity (current {self.C})")
-        if out_cap_log2 is None:
-            out_cap_log2 = max(self.C.bit_length() - 3, 10)
-        out_keys, out_counts, n_unique = _compact(self.keys, self.counts,
-                                                  1 << out_cap_log2)
-        n = int(n_unique)
-        if n > (1 << out_cap_log2):
-            raise RuntimeError(
-                f"DeviceHashCounter compaction overflow: {n} unique > "
-                f"capacity {1 << out_cap_log2}; raise out_cap_log2")
-        k = np.asarray(out_keys[:n])
-        c = np.asarray(out_counts[:n], np.int64)
+        import os
+        use_compact = os.environ.get("TA_HASH_COMPACT", "0") == "1"
+        if use_compact:
+            if out_cap_log2 is None:
+                out_cap_log2 = max(self.C.bit_length() - 3, 10)
+            out_keys, out_counts, n_unique = _compact(self.keys, self.counts,
+                                                      1 << out_cap_log2)
+            n = int(n_unique)
+            if n > (1 << out_cap_log2):
+                raise RuntimeError(
+                    f"DeviceHashCounter compaction overflow: {n} unique > "
+                    f"capacity {1 << out_cap_log2}; raise out_cap_log2")
+            k = np.asarray(out_keys[:n])
+            c = np.asarray(out_counts[:n], np.int64)
+        else:
+            # full-table pull; keep capacity modest when the interconnect
+            # to the host is slow (relay rigs)
+            keys = np.asarray(self.keys)
+            counts = np.asarray(self.counts)
+            live = counts > 0
+            k = keys[live]
+            c = counts[live].astype(np.int64)
         if sort:
             order = lb.np_lexsort_rows(k)
             return np.ascontiguousarray(k[order]), c[order]
