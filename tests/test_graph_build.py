@@ -94,3 +94,13 @@ def test_counts_sum_conserved():
         else:
             tot += g.edge_count[e]
     assert tot == 2 * counts.sum()
+
+
+def test_k63_build():
+    # 4-limb k-mer path (k=63, k+1=64 -> exactly 4 limbs)
+    genome = tt.random_genome(3000, seed=9)
+    g, reads = build_from_genome(genome, 63, coverage=30.0, read_len=100)
+    check_graph(g)
+    reads_str = [tt.codes_to_str(r[r < 4]) for r in reads]
+    want = tt.brute_force_unitigs(reads_str, 63)
+    assert graph_unitig_set(g) == want

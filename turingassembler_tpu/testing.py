@@ -68,6 +68,7 @@ def sim_barcoded_pairs(
     read_len: int = 100,
     insert: int = 300,
     seed: int = 0,
+    error_rate: float = 0.0,
 ):
     """Linked-read simulation: long molecules carry a barcode; paired-end
     reads sample each molecule (mimics TELL-Seq read clouds).
@@ -95,6 +96,10 @@ def sim_barcoded_pairs(
             bcs.append(mol)
     r1 = np.stack(r1s).astype(np.uint8)
     r2 = np.stack(r2s).astype(np.uint8)
+    if error_rate > 0:
+        for arr in (r1, r2):
+            errs = rng.random(arr.shape) < error_rate
+            arr[errs] = (arr[errs] + rng.integers(1, 4, errs.sum())) % 4
     lengths = np.full(len(r1), read_len, np.int32)
     return r1, r2, lengths, lengths.copy(), np.asarray(bcs, np.int64)
 
