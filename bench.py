@@ -29,6 +29,10 @@ def log(*a):
 
 
 def main():
+    # hash-table sizing tuned for this workload's ~2M unique (k+1)-mers;
+    # the relay D2H runs ~10 MB/s so the pull volume matters
+    os.environ.setdefault("TA_HASH_CAP_LOG2", "25")
+    os.environ.setdefault("TA_HASH_OUT_LOG2", "22")
     import jax
 
     # axon remote-compile costs minutes per shape; persist compiled

@@ -4,13 +4,12 @@ Replaces the external KMC counter (reference include/kmc_skipping.h:8-11,
 invoked from src/kmer_build.c:726-737) and the striped-lock kmhash
 (src/kmhash.c).
 
-Per device batch: window-extract + canonicalize + ONE tile-sized
-`lax.sort` + run-length encode.  Tiles are kept small (XLA's TPU sort is
-a comparator network that degrades sharply past ~1M rows); larger runs
-are built by the log-structured merge accumulator (ops/merge.py) whose
-merge step uses only binary search + scatter.  The whole stream
-compiles a constant number of shapes: one tile sort + one merge per
-doubling level.
+Three engines (see count_kedges_from_batches): the TPU path packs
+reads to ~2.25 bits/base on host, ships them async, and runs
+unpack + window-extract + hash-table insert as one fused dispatch per
+batch (ops/devhash.py); the sort-tile + LSM-merge engine remains for
+the mesh-sharded variant; small jobs use per-batch device RLE with a
+host merge.  Shape count stays constant in stream length.
 """
 
 from __future__ import annotations
@@ -25,6 +24,57 @@ import numpy as np
 from ..ops import kmers as km
 from ..ops import sortops as so
 from ..ops.merge import SENTINEL, DeviceCountAccumulator
+
+
+# ---------------------------------------------------------------------------
+# packed host->device transfer: the relay H2D on this rig runs ~5 MB/s,
+# so reads ship as 2 bits/base + a 1-bit validity mask (~2.25 bits/base)
+# and are unpacked by cheap vector ops on device.
+# ---------------------------------------------------------------------------
+
+def host_pack_reads(bases: np.ndarray):
+    """(B, L) uint8 codes (>=4 invalid/pad) -> (packed2 (B, ceil(L/4)),
+    nmask (B, ceil(L/8)))."""
+    B, L = bases.shape
+    L4 = (L + 3) // 4 * 4
+    L8 = (L + 7) // 8 * 8
+    b = np.zeros((B, L4), np.uint8)
+    np.minimum(bases, 3, out=b[:, :L], casting="unsafe")
+    q = b.reshape(B, L4 // 4, 4).astype(np.uint16)
+    packed = (q[:, :, 0] | (q[:, :, 1] << 2) | (q[:, :, 2] << 4)
+              | (q[:, :, 3] << 6)).astype(np.uint8)
+    v = np.zeros((B, L8), np.uint8)
+    v[:, :L] = (bases < 4).astype(np.uint8)
+    m = v.reshape(B, L8 // 8, 8).astype(np.uint16)
+    nmask = (m[:, :, 0] | (m[:, :, 1] << 1) | (m[:, :, 2] << 2)
+             | (m[:, :, 3] << 3) | (m[:, :, 4] << 4) | (m[:, :, 5] << 5)
+             | (m[:, :, 6] << 6) | (m[:, :, 7] << 7)).astype(np.uint8)
+    return packed, nmask
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def device_unpack_reads(packed, nmask, L: int):
+    """Inverse of host_pack_reads -> (B, L) uint8 codes with 255 invalid."""
+    B = packed.shape[0]
+    shifts2 = jnp.arange(4, dtype=jnp.uint8) * 2
+    b = ((packed[:, :, None] >> shifts2[None, None, :]) & 3).reshape(B, -1)
+    shifts1 = jnp.arange(8, dtype=jnp.uint8)
+    v = ((nmask[:, :, None] >> shifts1[None, None, :]) & 1).reshape(B, -1)
+    bases = jnp.where(v[:, :L] == 1, b[:, :L], jnp.uint8(255))
+    return bases.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "k1"),
+                   donate_argnums=(0, 1))
+def _count_batch_fused(keys, counts, packed, nmask, lengths, L: int, k1: int):
+    """unpack + extract + hash-insert as ONE dispatch (relay dispatch
+    latency is tens of ms per call on this rig)."""
+    from ..ops.devhash import _insert_body
+    bases = device_unpack_reads(packed, nmask, L)
+    canon, _, valid = km.extract_canonical_kmers(bases, lengths, k1)
+    flat = canon.reshape(-1, canon.shape[-1])
+    vflat = valid.reshape(-1)
+    return _insert_body(keys, counts, flat, vflat)
 
 
 @functools.partial(jax.jit, static_argnames=("k1",), donate_argnums=())
@@ -74,14 +124,16 @@ def count_kedges_from_batches(
         counter = None
         cap_log2 = int(__import__("os").environ.get("TA_HASH_CAP_LOG2", 25))
         for bases, lengths in batches:
-            canon, _, valid = km.extract_canonical_kmers(
-                jnp.asarray(np.ascontiguousarray(bases)),
-                jnp.asarray(np.ascontiguousarray(lengths)), k1)
-            flat = canon.reshape(-1, canon.shape[-1])
-            vflat = valid.reshape(-1)
+            L = bases.shape[1]
+            packed, nmask = host_pack_reads(np.ascontiguousarray(bases))
+            dp = jax.device_put(packed)      # async: overlaps with inserts
+            dm = jax.device_put(nmask)
+            dl = jax.device_put(np.ascontiguousarray(lengths))
             if counter is None:
-                counter = DeviceHashCounter(cap_log2, flat.shape[-1])
-            counter.insert(flat, vflat)
+                counter = DeviceHashCounter(cap_log2, lbops.n_limbs(k1))
+            counter.keys, counter.counts, ovf = _count_batch_fused(
+                counter.keys, counter.counts, dp, dm, dl, L, k1)
+            counter._ovf = counter._ovf + ovf
         if counter is None:
             return np.zeros((0, lbops.n_limbs(k1)), np.uint32), np.zeros(0, np.int64)
         out_log2 = int(__import__("os").environ.get("TA_HASH_OUT_LOG2",

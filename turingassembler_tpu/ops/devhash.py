@@ -1,29 +1,36 @@
 """Device hash-table k-mer counter — the speed-of-light TPU path.
 
-Replaces the sort+RLE tile engine for the hot counting loop: measured on
-v5e, `lax.sort` moves ~0.03 M rows/ms while a scatter-add into a 16M-slot
-HBM table moves ~8700 M updates/ms-equivalent — so counting becomes a
-vectorized open-addressing hash table, the honest TPU translation of the
-reference's kmhash (src/kmhash.c) with the CAS loop replaced by
-scatter-claim / gather-verify rounds:
+Replaces the sort+RLE tile engine for the hot counting loop.  Measured
+on the v5e rig: `lax.sort` moves ~0.03M rows/ms, while XLA gather /
+scatter sustains ~60M random accesses/s — so exact counting becomes a
+vectorized open-addressing table (the TPU translation of the
+reference's kmhash, src/kmhash.c, with its CAS loop replaced by
+scatter-claim / gather-verify rounds), engineered to minimize random
+accesses per lane:
 
-  per probe round (all lanes simultaneously):
-    cur  = keys[slot]                  # gather
-    claim empty slots: keys[slot] <- my key   # scatter, arbitrary winner
-    cur2 = keys[slot]                  # re-gather
-    mine = cur2 == my key  ->  counts[slot] += 1, lane resolved
-    else slot = (slot + stride) & mask # probe on
+  - identity is a 64-bit FINGERPRINT (2 x uint32 independent hashes);
+    the k-mer limbs are a PAYLOAD written once per unique key at claim
+    time, not touched by repeat lanes.  A false merge needs equal slot
+    AND equal 64-bit fingerprint (~1e-4 expected per 50M-k-mer dataset)
+    — the same guarantee class as the reference's 64-bit MurmurHash
+    span-k-mer table (src/build_hash_table.c:78-101).
+  - after the first probe round (which resolves ~90%+ of lanes at
+    sane load), unresolved lanes are dense-packed into a small buffer
+    and the remaining rounds run on that buffer only.
+  - probe rounds are python-unrolled: on this rig every device-loop
+    iteration costs a host round-trip through the relay (~100 ms), so
+    lax.scan/while_loop are off the table in hot paths.
 
-Duplicate lanes of the same k-mer resolve to one slot and their
-scatter-adds accumulate — no pre-dedupe, no sort, no atomics.  Lanes
-unresolved after MAX_PROBES are counted as overflow; the caller grows
-the table (the observable analogue of kmhash's stop-the-world resize,
-src/kmhash.c:376-409).
+Lanes unresolved after all rounds (or overflowing the compaction
+buffer) are counted; the caller grows capacity and re-runs — the
+observable analogue of kmhash's stop-the-world resize
+(src/kmhash.c:376-409).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -33,52 +40,116 @@ import numpy as np
 from . import limbs as lb
 
 SENTINEL = np.uint32(0xFFFFFFFF)
-MAX_PROBES = 16
+MAX_PROBES = 8
+COMPACT_FRACTION = 4  # small-buffer capacity = N // COMPACT_FRACTION
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _insert(keys, counts, kmers, valid):
-    """One batch insert.  keys (C, nl) uint32, counts (C,) int32 are
-    donated; kmers (N, nl); valid (N,).  Returns (keys, counts,
-    n_overflow)."""
-    C = keys.shape[0]
+def _probe_round(state):
+    """One scatter-claim / gather-verify round over the lanes in `state`.
+
+    state: ((fp0, fp1, payload), slot, stride, fpA, fpB, cols, resolved,
+    res_slot).  All claim writes use unique_indices=True: duplicate
+    indices only ever write IDENTICAL values (same key -> same slot,
+    fp, payload), and the unique hint keeps XLA from lowering the
+    scatter into a sort-based combiner (~30 ms/scatter otherwise).
+    Counts are NOT updated here — each lane records the slot it
+    resolved at (res_slot) and one deferred scatter-add per lane set
+    accumulates them.
+    """
+    (fp0, fp1, payload), slot, stride, fpA, fpB, cols, resolved, res_slot = state
+    C = fp0.shape[0]
     mask = jnp.uint32(C - 1)
+    sl = slot.astype(jnp.int32)
+    cur0 = jnp.take(fp0, sl)
+    emp = cur0 == SENTINEL
+    wslot = jnp.where(~resolved & emp, sl, C)
+    fp0 = fp0.at[wslot].set(fpA, mode="drop", unique_indices=True)
+    fp1 = fp1.at[wslot].set(fpB, mode="drop", unique_indices=True)
+    payload = [payload[l].at[wslot].set(cols[l], mode="drop",
+                                        unique_indices=True)
+               for l in range(len(payload))]
+    # verify (also detects the winner among colliding claims)
+    cur0 = jnp.take(fp0, sl)
+    cur1 = jnp.take(fp1, sl)
+    mine = (cur0 == fpA) & (cur1 == fpB) & ~resolved
+    res_slot = jnp.where(mine, sl, res_slot)
+    resolved = resolved | mine
+    slot = (slot + stride) & mask
+    return (fp0, fp1, payload), slot, stride, fpA, fpB, cols, resolved, res_slot
+
+
+def _insert_body(keys, counts, kmers, valid):
+    """One batch insert.  keys = (fp0, fp1, k0..k_{nl-1}) tuple of (C,)
+    uint32 arrays (donated); counts (C,) int32 (donated); kmers (N, nl);
+    valid (N,).  Returns (keys, counts, n_overflow)."""
+    fp0, fp1 = keys[0], keys[1]
+    payload = list(keys[2:])
+    nl = len(payload)
+    C = fp0.shape[0]
+    N = kmers.shape[0]
+    mask = jnp.uint32(C - 1)
+
     h = lb.hash_limbs(kmers)
-    # odd stride from a second hash for double hashing
     h2 = lb.hash_limbs(kmers, seed=0xC2B2AE35)
-    stride = (h2 | jnp.uint32(1)) & mask
+    h3 = lb.hash_limbs(kmers, seed=0x27D4EB2F)
     slot = (h & mask).astype(jnp.uint32)
+    stride = (h2 | jnp.uint32(1)) & mask
+    fpA = jnp.where(h2 == SENTINEL, jnp.uint32(0xFFFFFFFE), h2)
+    fpB = h3
+    cols = [kmers[:, l] for l in range(nl)]
     resolved = ~valid
 
-    def round_(state, _):
-        keys, counts, slot, resolved = state
-        sl = slot.astype(jnp.int32)
-        cur = keys[sl]
-        is_empty = jnp.all(cur == SENTINEL, axis=-1)
-        # claim empty slots (losers detected by re-gather)
-        wslot = jnp.where(~resolved & is_empty, sl, C)
-        keys = keys.at[wslot].set(kmers, mode="drop")
-        cur2 = keys[sl]
-        mine = jnp.all(cur2 == kmers, axis=-1) & ~resolved
-        aslot = jnp.where(mine, sl, C)
-        counts = counts.at[aslot].add(1, mode="drop")
-        resolved = resolved | mine
-        slot = (slot + stride) & mask
-        return (keys, counts, slot, resolved), None
+    res_slot = jnp.full((N,), C, jnp.int32)
+    table = (fp0, fp1, payload)
+    state = (table, slot, stride, fpA, fpB, cols, resolved, res_slot)
+    state = _probe_round(state)
+    table, slot, stride, fpA, fpB, cols, resolved, res_slot = state
 
-    (keys, counts, slot, resolved), _ = jax.lax.scan(
-        round_, (keys, counts, slot, resolved), None, length=MAX_PROBES)
-    return keys, counts, jnp.sum(~resolved).astype(jnp.int32)
+    # dense-pack unresolved lanes; remaining rounds touch only them
+    cap = max(N // COMPACT_FRACTION, 1024)
+    unres = ~resolved
+    pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
+    dst = jnp.where(unres & (pos < cap), pos, cap)
+    n_unres = jnp.sum(unres.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_unres - cap, 0)
+
+    def pack(x):
+        return jnp.zeros((cap,), x.dtype).at[dst].set(x, mode="drop")
+
+    s_slot = pack(slot)
+    s_stride = jnp.ones((cap,), stride.dtype).at[dst].set(stride, mode="drop")
+    s_fpA = pack(fpA)
+    s_fpB = pack(fpB)
+    s_cols = [pack(c) for c in cols]
+    s_resolved = jnp.full((cap,), True).at[dst].set(False, mode="drop")
+    s_res_slot = jnp.full((cap,), C, jnp.int32)
+
+    sub = (table, s_slot, s_stride, s_fpA, s_fpB, s_cols, s_resolved, s_res_slot)
+    for _ in range(MAX_PROBES - 1):
+        sub = _probe_round(sub)
+    (fp0, fp1, payload), _, _, _, _, _, s_resolved, s_res_slot = sub
+
+    # deferred count accumulation: the only non-unique scatters
+    counts = counts.at[res_slot].add(1, mode="drop")
+    counts = counts.at[s_res_slot].add(1, mode="drop")
+
+    n_overflow = (n_dropped + jnp.sum((~s_resolved).astype(jnp.int32))).astype(jnp.int32)
+    return (fp0, fp1, *payload), counts, n_overflow
+
+
+_insert = jax.jit(_insert_body, donate_argnums=(0, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def _compact(keys, counts, out_cap: int):
-    """Dense-pack live table entries into an (out_cap, nl) buffer."""
+    """Dense-pack live payload entries into per-limb (out_cap,) buffers."""
+    payload = keys[2:]
     live = counts > 0
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     slot = jnp.where(live, jnp.minimum(pos, out_cap - 1), out_cap)
-    nl = keys.shape[1]
-    out_keys = jnp.zeros((out_cap, nl), jnp.uint32).at[slot].set(keys, mode="drop")
+    out_keys = tuple(
+        jnp.zeros((out_cap,), jnp.uint32).at[slot].set(k, mode="drop")
+        for k in payload)
     out_counts = jnp.zeros((out_cap,), counts.dtype).at[slot].set(counts, mode="drop")
     n_unique = jnp.sum(live.astype(jnp.int32))
     return out_keys, out_counts, n_unique
@@ -90,7 +161,9 @@ class DeviceHashCounter:
     def __init__(self, capacity_log2: int, nl: int):
         self.C = 1 << capacity_log2
         self.nl = nl
-        self.keys = jnp.full((self.C, nl), SENTINEL, jnp.uint32)
+        # (fp0, fp1, payload limbs...) — one flat array each; see module doc
+        self.keys = tuple(jnp.full((self.C,), SENTINEL, jnp.uint32)
+                          for _ in range(2 + nl))
         self.counts = jnp.zeros((self.C,), jnp.int32)
         self._ovf = jnp.zeros((), jnp.int32)  # device-side, no sync per batch
 
@@ -103,19 +176,16 @@ class DeviceHashCounter:
                  out_cap_log2: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
         """Extract (unique keys, counts) to host.
 
-        Device-compacts live entries first: host transfers through this
-        rig's relay run ~10 MB/s, so pulling the full table (C rows) is
-        the difference between seconds and minutes.  out_cap bounds the
-        compacted shape (static); raises if exceeded or if any insert
-        overflowed.  sort=False skips the host lexsort (the graph
-        builder derives its own orderings)."""
+        Device-compacts live entries first (host transfers through this
+        rig's relay run ~10 MB/s).  out_cap bounds the compacted shape
+        (static); raises if exceeded or if any insert overflowed.
+        sort=False skips the host lexsort."""
         ovf = int(self._ovf)
         if ovf:
             raise RuntimeError(
                 f"DeviceHashCounter overflow ({ovf} lanes); "
                 f"increase capacity (current {self.C})")
-        import os
-        use_compact = os.environ.get("TA_HASH_COMPACT", "0") == "1"
+        use_compact = os.environ.get("TA_HASH_COMPACT", "1") == "1"
         if use_compact:
             if out_cap_log2 is None:
                 out_cap_log2 = max(self.C.bit_length() - 3, 10)
@@ -126,12 +196,10 @@ class DeviceHashCounter:
                 raise RuntimeError(
                     f"DeviceHashCounter compaction overflow: {n} unique > "
                     f"capacity {1 << out_cap_log2}; raise out_cap_log2")
-            k = np.asarray(out_keys[:n])
+            k = np.stack([np.asarray(ok[:n]) for ok in out_keys], axis=1)
             c = np.asarray(out_counts[:n], np.int64)
         else:
-            # full-table pull; keep capacity modest when the interconnect
-            # to the host is slow (relay rigs)
-            keys = np.asarray(self.keys)
+            keys = np.stack([np.asarray(kk) for kk in self.keys[2:]], axis=1)
             counts = np.asarray(self.counts)
             live = counts > 0
             k = keys[live]
