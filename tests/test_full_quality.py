@@ -1,0 +1,51 @@
+"""Full-pipeline quality: a repeat-planted genome must assemble gapless.
+
+Mirrors the reference's headline claim (README.md:13: "gapless assembly"
+for E. coli TELL-Seq): the graph alone breaks at planted repeats, and
+the read-cloud machinery (barcode scaffolding + per-gap local assembly)
+must close them.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from turingassembler_tpu import testing as tt
+from turingassembler_tpu.cli import main as cli_main
+from turingassembler_tpu.evaluate import evaluate_assembly
+from turingassembler_tpu.io.fasta import read_fasta
+from turingassembler_tpu.io.fastq import encode_barcode
+
+
+@pytest.mark.slow
+def test_repeat_genome_gapless_through_assembly3(tmp_path):
+    rng = np.random.default_rng(123)
+    genome = rng.integers(0, 4, 100_000).astype(np.uint8)
+    rep = rng.integers(0, 4, 700).astype(np.uint8)
+    for pos in (25_000, 60_000):
+        genome[pos : pos + 700] = rep
+
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=12_000, n_molecules=2500,
+        reads_per_molecule=20, read_len=120, insert=300, seed=1,
+        error_rate=0.002)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            o1.write(f"@r{i}\n{ACGT[r1[i]].tobytes().decode()}\n+\n{'I'*120}\n")
+            o2.write(f"@r{i}\n{ACGT[r2[i]].tobytes().decode()}\n+\n{'I'*120}\n")
+            oI.write(f"@r{i}\n{encode_barcode(int(bcs[i])+1,16).decode()}\n+\n{'I'*16}\n")
+
+    out = str(tmp_path / "out")
+    rc = cli_main(["assembly3", "-1", f1, "-2", f2, "-I", fI,
+                   "-l", "ust", "-k0", "45", "-mc", "2", "-o", out])
+    assert rc == 0
+    final = os.path.join(out, "scaffold.full.fasta")
+    contigs = [s for _, s in read_fasta(final)]
+    res = evaluate_assembly(contigs, tt.codes_to_str(genome))
+    assert res.n_misassemblies == 0
+    assert res.genome_fraction > 0.97
+    # repeats must be bridged: NGA50 close to the full genome
+    assert res.nga50 >= 0.9 * len(genome), res

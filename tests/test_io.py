@@ -76,3 +76,25 @@ def test_gfa_writer(tmp_path):
     for l in l_lines:
         parts = l.split("\t")
         assert parts[5] == f"{g.ksize}M"
+
+
+def test_asmg_barcode_roundtrip(tmp_path):
+    """ASM_HAVE_BARCODE serialization: five hash tables per live edge
+    (reference save_asm_graph src/assembly_graph.c:1196-1248)."""
+    g = make_graph()
+    g.barcodes = [[{1: 2, 99: 1}, {3: 4}, {}] for _ in range(g.n_e)]
+    g.barcodes_scaf = [{7: 1, 123456789: 3} for _ in range(g.n_e)]
+    g.barcodes_cov = [{} for _ in range(g.n_e)]
+    g.aux_flag |= 1
+    path = str(tmp_path / "bc.bin")
+    asmg.save_graph(g, path)
+    g2 = asmg.load_graph(path)
+    assert g2.aux_flag & 1
+    for e in range(g2.n_e):
+        if g2.edge_source[e] < 0:
+            continue
+        assert g2.barcodes[e][0] == {1: 2, 99: 1}
+        assert g2.barcodes[e][1] == {3: 4}
+        assert g2.barcodes[e][2] == {}
+        assert g2.barcodes_scaf[e] == {7: 1, 123456789: 3}
+        assert g2.barcodes_cov[e] == {}
