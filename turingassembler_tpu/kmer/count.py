@@ -64,9 +64,10 @@ def device_unpack_reads(packed, nmask, L: int):
     return bases.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "k1"),
+@functools.partial(jax.jit, static_argnames=("L", "k1", "cap_frac"),
                    donate_argnums=(0, 1))
-def _count_batch_fused(keys, counts, packed, nmask, lengths, L: int, k1: int):
+def _count_batch_fused(keys, counts, packed, nmask, lengths, L: int, k1: int,
+                       cap_frac: int = 1):
     """unpack + extract + hash-insert as ONE dispatch (relay dispatch
     latency is tens of ms per call on this rig)."""
     from ..ops.devhash import _insert_body
@@ -74,7 +75,7 @@ def _count_batch_fused(keys, counts, packed, nmask, lengths, L: int, k1: int):
     canon, _, valid = km.extract_canonical_kmers(bases, lengths, k1)
     flat = canon.reshape(-1, canon.shape[-1])
     vflat = valid.reshape(-1)
-    return _insert_body(keys, counts, flat, vflat)
+    return _insert_body(keys, counts, flat, vflat, cap_frac)
 
 
 @functools.partial(jax.jit, static_argnames=("k1",), donate_argnums=())
@@ -122,6 +123,7 @@ def count_kedges_from_batches(
         from ..ops import limbs as lbops
         from ..ops.devhash import DeviceHashCounter
         counter = None
+        n_batches_done = 0
         cap_log2 = int(__import__("os").environ.get("TA_HASH_CAP_LOG2", 25))
         for bases, lengths in batches:
             L = bases.shape[1]
@@ -131,9 +133,16 @@ def count_kedges_from_batches(
             dl = jax.device_put(np.ascontiguousarray(lengths))
             if counter is None:
                 counter = DeviceHashCounter(cap_log2, lbops.n_limbs(k1))
+            # while the table fills most lanes miss (cap_frac=1); at
+            # steady state misses are rare and the small-buffer
+            # executable does ~2.5x fewer full-batch scatter passes
+            warm = int(__import__("os").environ.get("TA_HASH_WARM_BATCHES", 6))
+            frac = 1 if n_batches_done < warm else 4
             counter.keys, counter.counts, ovf = _count_batch_fused(
-                counter.keys, counter.counts, dp, dm, dl, L, k1)
+                counter.keys, counter.counts, dp, dm, dl, L, k1,
+                cap_frac=frac)
             counter._ovf = counter._ovf + ovf
+            n_batches_done += 1
         if counter is None:
             return np.zeros((0, lbops.n_limbs(k1)), np.uint32), np.zeros(0, np.int64)
         out_log2 = int(__import__("os").environ.get("TA_HASH_OUT_LOG2",

@@ -78,17 +78,7 @@ def _probe_round(state):
     return (fp0, fp1, payload), slot, stride, fpA, fpB, cols, resolved, res_slot
 
 
-def _insert_body(keys, counts, kmers, valid):
-    """One batch insert.  keys = (fp0, fp1, k0..k_{nl-1}) tuple of (C,)
-    uint32 arrays (donated); counts (C,) int32 (donated); kmers (N, nl);
-    valid (N,).  Returns (keys, counts, n_overflow)."""
-    fp0, fp1 = keys[0], keys[1]
-    payload = list(keys[2:])
-    nl = len(payload)
-    C = fp0.shape[0]
-    N = kmers.shape[0]
-    mask = jnp.uint32(C - 1)
-
+def _hashes(kmers, mask):
     h = lb.hash_limbs(kmers)
     h2 = lb.hash_limbs(kmers, seed=0xC2B2AE35)
     h3 = lb.hash_limbs(kmers, seed=0x27D4EB2F)
@@ -96,48 +86,68 @@ def _insert_body(keys, counts, kmers, valid):
     stride = (h2 | jnp.uint32(1)) & mask
     fpA = jnp.where(h2 == SENTINEL, jnp.uint32(0xFFFFFFFE), h2)
     fpB = h3
-    cols = [kmers[:, l] for l in range(nl)]
-    resolved = ~valid
+    return slot, stride, fpA, fpB
 
-    res_slot = jnp.full((N,), C, jnp.int32)
-    table = (fp0, fp1, payload)
-    state = (table, slot, stride, fpA, fpB, cols, resolved, res_slot)
-    state = _probe_round(state)
-    table, slot, stride, fpA, fpB, cols, resolved, res_slot = state
 
-    # dense-pack unresolved lanes; remaining rounds touch only them
-    cap = max(N // COMPACT_FRACTION, 1024)
-    unres = ~resolved
-    pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
-    dst = jnp.where(unres & (pos < cap), pos, cap)
-    n_unres = jnp.sum(unres.astype(jnp.int32))
-    n_dropped = jnp.maximum(n_unres - cap, 0)
+def _insert_body(keys, counts, kmers, valid, cap_frac: int):
+    """One batch insert.  keys = (fp0, fp1, k0..k_{nl-1}) tuple of (C,)
+    uint32 arrays (donated); counts (C,) int32 (donated); kmers (N, nl);
+    valid (N,).  Returns (keys, counts, n_overflow).
 
-    def pack(x):
-        return jnp.zeros((cap,), x.dtype).at[dst].set(x, mode="drop")
+    Cost model: a masked scatter pays for every index it streams, so
+    the structure minimizes full-batch operations:
+      fast path (all N lanes): two fingerprint gathers + one count add —
+        at steady state most k-mer occurrences hit an existing entry;
+      slow path: missing lanes are dense-packed (payload limbs only;
+        hashes are recomputed) into a buffer of N // cap_frac lanes and
+        all claiming/probing happens there.
+    cap_frac is static: the engine uses cap_frac=1 executables while
+    the table is filling (most lanes miss) and cap_frac=4 at steady
+    state; buffer overflow is counted and raises at finalize.
+    """
+    fp0, fp1 = keys[0], keys[1]
+    payload = list(keys[2:])
+    nl = len(payload)
+    C = fp0.shape[0]
+    N = kmers.shape[0]
+    mask = jnp.uint32(C - 1)
 
-    s_slot = pack(slot)
-    s_stride = jnp.ones((cap,), stride.dtype).at[dst].set(stride, mode="drop")
-    s_fpA = pack(fpA)
-    s_fpB = pack(fpB)
-    s_cols = [pack(c) for c in cols]
-    s_resolved = jnp.full((cap,), True).at[dst].set(False, mode="drop")
+    slot, _, fpA, fpB = _hashes(kmers, mask)
+    sl = slot.astype(jnp.int32)
+    cur0 = jnp.take(fp0, sl)
+    cur1 = jnp.take(fp1, sl)
+    mine0 = (cur0 == fpA) & (cur1 == fpB) & valid
+    counts = counts.at[jnp.where(mine0, sl, C)].add(1, mode="drop")
+
+    # compact the misses: payload limbs only
+    miss = valid & ~mine0
+    cap = max(N // cap_frac, 1024)
+    pos = jnp.cumsum(miss.astype(jnp.int32)) - 1
+    dst = jnp.where(miss & (pos < cap), pos, cap)
+    n_miss = jnp.sum(miss.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_miss - cap, 0)
+    s_kmers = jnp.stack(
+        [jnp.zeros((cap,), jnp.uint32).at[dst].set(kmers[:, l], mode="drop")
+         for l in range(nl)], axis=1)
+    s_live = jnp.full((cap,), False).at[dst].set(miss, mode="drop")
+
+    s_slot, s_stride, s_fpA, s_fpB = _hashes(s_kmers, mask)
+    s_cols = [s_kmers[:, l] for l in range(nl)]
+    s_resolved = ~s_live
     s_res_slot = jnp.full((cap,), C, jnp.int32)
-
+    table = (fp0, fp1, payload)
     sub = (table, s_slot, s_stride, s_fpA, s_fpB, s_cols, s_resolved, s_res_slot)
-    for _ in range(MAX_PROBES - 1):
+    for _ in range(MAX_PROBES):
         sub = _probe_round(sub)
     (fp0, fp1, payload), _, _, _, _, _, s_resolved, s_res_slot = sub
 
-    # deferred count accumulation: the only non-unique scatters
-    counts = counts.at[res_slot].add(1, mode="drop")
     counts = counts.at[s_res_slot].add(1, mode="drop")
-
     n_overflow = (n_dropped + jnp.sum((~s_resolved).astype(jnp.int32))).astype(jnp.int32)
     return (fp0, fp1, *payload), counts, n_overflow
 
 
-_insert = jax.jit(_insert_body, donate_argnums=(0, 1))
+_insert = jax.jit(_insert_body, donate_argnums=(0, 1),
+                  static_argnames=("cap_frac",))
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
@@ -167,9 +177,10 @@ class DeviceHashCounter:
         self.counts = jnp.zeros((self.C,), jnp.int32)
         self._ovf = jnp.zeros((), jnp.int32)  # device-side, no sync per batch
 
-    def insert(self, kmers, valid) -> None:
+    def insert(self, kmers, valid, cap_frac: int = 1) -> None:
         self.keys, self.counts, ovf = _insert(self.keys, self.counts,
-                                              kmers, valid)
+                                              kmers, valid,
+                                              cap_frac=cap_frac)
         self._ovf = self._ovf + ovf
 
     def finalize(self, sort: bool = True,
