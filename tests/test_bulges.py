@@ -73,3 +73,22 @@ def test_complex_bulges_smoke_on_tangle():
     check_graph(g)
     g1 = resolve_complex_bulges_ite(g)
     check_graph(g1)
+
+
+def test_join_edge_with_fill():
+    from turingassembler_tpu.graph.mutable import MutableGraph
+    genome = tt.random_genome(3000, seed=77)
+    reads, lengths = tt.sim_reads(genome, coverage=30, read_len=100, seed=1)
+    # two halves as separate graphs... build one graph from two contigs
+    from turingassembler_tpu.graph.from_contigs import graph_from_contigs
+    a = tt.codes_to_str(genome[:1400])
+    b = tt.codes_to_str(genome[1600:])
+    g = graph_from_contigs([a, b], 31)
+    mg = MutableGraph.from_asm(g)
+    fill = genome[1400:1600]
+    mg.join_edge_with_fill(0, 2, fill)  # edges 0 (a fw) and 2 (b fw)
+    g2 = mg.to_asm()
+    check_graph(g2, check_seq=True)
+    seqs = {tt.codes_to_str(g2.get_seq(e))
+            for e in range(g2.n_e) if g2.edge_source[e] >= 0}
+    assert tt.codes_to_str(genome) in seqs

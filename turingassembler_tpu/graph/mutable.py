@@ -221,6 +221,31 @@ class MutableGraph:
         self.remove_edge(e3)
         self.remove_edge(e_rc1)
 
+    def join_edge_with_fill(self, e1: int, e2: int, fill: np.ndarray,
+                            trim_e1: int = 0, trim_e2: int = 0) -> None:
+        """Join e1 and e2 with an explicit fill sequence between them,
+        trimming trim_e1 bases from e1's tail and trim_e2 from e2's head
+        (reference asm_join_edge_with_fill src/assembly_graph.c:381-400;
+        used when a local-assembly path supplies the joining sequence)."""
+        e_rc1 = self.edges[e1].rc_id
+        e_rc2 = self.edges[e2].rc_id
+        d1, d2 = self.edges[e1], self.edges[e2]
+        r1, r2 = self.edges[e_rc1], self.edges[e_rc2]
+        fill = np.asarray(fill, np.uint8)
+        d1.seq = np.concatenate([
+            d1.seq[: d1.seq_len - trim_e1], fill, d2.seq[trim_e2:]])
+        d1.target = d2.target
+        d1.count += d2.count
+        rc_fill = (3 - fill)[::-1]
+        r2.seq = np.concatenate([
+            r2.seq[: r2.seq_len - trim_e2], rc_fill, r1.seq[trim_e1:]])
+        r2.target = r1.target
+        r2.count += r1.count
+        d1.rc_id = e_rc2
+        r2.rc_id = e1
+        self.remove_edge(e2)
+        self.remove_edge(e_rc1)
+
     def unroll_loop_forward(self, e1: int, e2: int, rep: int) -> None:
         """Append (e2 + original-e1) rep times to e1, capped at 2000 bp;
         add e2's count once (reference asm_unroll_loop_forward
