@@ -81,6 +81,48 @@ def _attach(g: AsmGraph, lens, e: int, pos: int, bc: int) -> None:
         d[bc] = d.get(bc, 0) + 1
 
 
+def _bulk_attach(g: AsmGraph, lens, edges: np.ndarray, pos: np.ndarray,
+                 bcs: np.ndarray) -> None:
+    """Vectorized barcode attachment: group (edge, bc) hits per level
+    with lexsort + reduceat, then bulk-update the per-edge dicts.  Same
+    semantics as the per-read _attach but ~50x less python overhead."""
+    mapped = edges >= 0
+    valid = mapped & (bcs != np.uint64(0xFFFFFFFFFFFFFFFF))
+    e = edges[valid].astype(np.int64)
+    p = pos[valid].astype(np.int64)
+    b = bcs[valid].astype(np.uint64)
+    if len(e) == 0:
+        return
+    half_len = np.minimum(MIN_CONTIG_BARCODE, lens[e] // 2)
+    targets = [
+        (g.barcodes, 0, p <= CONTIG_LEVEL_0),
+        (g.barcodes, 1, p <= CONTIG_LEVEL_1),
+        (g.barcodes, 2, p <= CONTIG_LEVEL_2),
+        (g.barcodes_cov, None, (p > CONTIG_LEVEL_1) & (p <= CONTIG_LEVEL_2)),
+        (g.barcodes_scaf, None, p < half_len),
+    ]
+    for store, lvl, mask in targets:
+        ee, bb = e[mask], b[mask]
+        if len(ee) == 0:
+            continue
+        order = np.lexsort((bb, ee))
+        ee, bb = ee[order], bb[order]
+        starts = np.ones(len(ee), bool)
+        starts[1:] = (ee[1:] != ee[:-1]) | (bb[1:] != bb[:-1])
+        idx = np.flatnonzero(starts)
+        cnt = np.diff(np.append(idx, len(ee)))
+        ue, ub = ee[idx], bb[idx]
+        # group by edge
+        estarts = np.ones(len(ue), bool)
+        estarts[1:] = ue[1:] != ue[:-1]
+        eidx = np.append(np.flatnonzero(estarts), len(ue))
+        for j in range(len(eidx) - 1):
+            lo, hi = eidx[j], eidx[j + 1]
+            d = store[int(ue[lo])][lvl] if lvl is not None else store[int(ue[lo])]
+            for bc_, c_ in zip(ub[lo:hi].tolist(), cnt[lo:hi].tolist()):
+                d[bc_] = d.get(bc_, 0) + int(c_)
+
+
 def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
                        index: Optional[EdgeMinimizerIndex] = None,
                        build_readpairs: bool = True) -> AsmGraph:
@@ -89,25 +131,25 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
         index = EdgeMinimizerIndex.build(g)
     init_barcode_structs(g)
     lens = g.edge_len()
-    BX_NONE = 0xFFFFFFFFFFFFFFFF
     n_pairs = n_mapped = 0
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
         e1, h1, p1 = map_reads(index, b1, l1)
         e2, h2, p2 = map_reads(index, b2, l2)
         n_pairs += len(b1)
-        for i in range(len(b1)):
-            bc = int(bcs[i])
-            for e, p in ((int(e1[i]), int(p1[i])), (int(e2[i]), int(p2[i]))):
-                if e < 0:
-                    continue
-                n_mapped += 1
-                if bc != BX_NONE:
-                    _attach(g, lens, e, p, bc)
-            if build_readpairs and e1[i] >= 0 and e2[i] >= 0 and e1[i] != e2[i] \
-                    and g.edge_rc[e1[i]] != e2[i]:
-                key = (int(e1[i]), int(e2[i]))
-                nr, np_ = g.candidates.get(key, (0, 0))
-                g.candidates[key] = (nr, np_ + 1)
+        n_mapped += int((e1 >= 0).sum() + (e2 >= 0).sum())
+        _bulk_attach(g, lens, e1, p1, bcs)
+        _bulk_attach(g, lens, e2, p2, bcs)
+        if build_readpairs:
+            ok = (e1 >= 0) & (e2 >= 0) & (e1 != e2) & \
+                 (g.edge_rc[np.clip(e1, 0, g.n_e - 1)] != e2)
+            pe1, pe2 = e1[ok].astype(np.int64), e2[ok].astype(np.int64)
+            if len(pe1):
+                keys = pe1 * (1 << 32) + pe2
+                uk, uc = np.unique(keys, return_counts=True)
+                for k_, c_ in zip(uk.tolist(), uc.tolist()):
+                    key = (k_ >> 32, k_ & 0xFFFFFFFF)
+                    nr, np_ = g.candidates.get(key, (0, 0))
+                    g.candidates[key] = (nr, np_ + int(c_))
     log.info("aux info: %d pairs, %d mapped reads, %d candidate pairs",
              n_pairs, n_mapped, len(g.candidates))
     return g
@@ -125,7 +167,9 @@ def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
         e1, _, _ = map_reads(index, b1, l1)
         e2, _, _ = map_reads(index, b2, l2)
         ok = (e1 >= 0) & (e2 >= 0)
-        for i in np.flatnonzero(ok):
-            key = (int(e1[i]), int(e2[i]))
-            counts[key] = counts.get(key, 0) + 1
+        keys = e1[ok].astype(np.int64) * (1 << 32) + e2[ok].astype(np.int64)
+        uk, uc = np.unique(keys, return_counts=True)
+        for k_, c_ in zip(uk.tolist(), uc.tolist()):
+            key = (k_ >> 32, k_ & 0xFFFFFFFF)
+            counts[key] = counts.get(key, 0) + int(c_)
     return counts

@@ -137,3 +137,112 @@ def sharded_count_to_host(bases: np.ndarray, lengths: np.ndarray, mesh: Mesh,
         runs.append((uniq[d * per_dev : d * per_dev + nd],
                      counts[d * per_dev : d * per_dev + nd].astype(np.int64)))
     return so.np_merge_count_runs(runs)
+
+
+# ---------------------------------------------------------------------------
+# hash-engine variant: per-shard open-addressing tables as sharded state
+# (the multi-chip mirror of ops/devhash.py — same insert body per shard,
+# with the all_to_all k-mer routing in front)
+# ---------------------------------------------------------------------------
+
+def _route_and_insert(keys_state, counts_state, bases, lengths, *,
+                      k1: int, axis: str, cap_per_dest: int):
+    """shard_map body: route k-mers to owner shards, insert into the
+    local hash table."""
+    from ..ops.devhash import _insert_body
+
+    n_shards = jax.lax.axis_size(axis)
+    canon, _, valid = km.extract_canonical_kmers(bases, lengths, k1)
+    nl = canon.shape[-1]
+    flat = canon.reshape(-1, nl)
+    vflat = valid.reshape(-1)
+    n = flat.shape[0]
+
+    shard = (lb.hash_limbs(flat, seed=0x51ED270B) % jnp.uint32(n_shards)).astype(jnp.int32)
+    shard = jnp.where(vflat, shard, n_shards)
+    order = jnp.argsort(shard)
+    shard_s = shard[order]
+    flat_s = flat[order]
+    start_of = jnp.searchsorted(shard_s, jnp.arange(n_shards + 1, dtype=shard_s.dtype))
+    pos_in_run = jnp.arange(n, dtype=jnp.int32) - start_of[jnp.clip(shard_s, 0, n_shards)]
+    send = jnp.zeros((n_shards * cap_per_dest, nl), jnp.uint32)
+    send_valid = jnp.zeros((n_shards * cap_per_dest,), jnp.bool_)
+    in_range = (shard_s < n_shards) & (pos_in_run < cap_per_dest)
+    slot = jnp.where(in_range, shard_s * cap_per_dest + pos_in_run,
+                     n_shards * cap_per_dest)
+    send = send.at[slot, :].set(flat_s, mode="drop")
+    send_valid = send_valid.at[slot].set(in_range, mode="drop")
+    n_dropped = jnp.sum((shard_s < n_shards) & (pos_in_run >= cap_per_dest))
+
+    recv = jax.lax.all_to_all(send.reshape(n_shards, cap_per_dest, nl),
+                              axis, split_axis=0, concat_axis=0, tiled=False)
+    recv_valid = jax.lax.all_to_all(send_valid.reshape(n_shards, cap_per_dest),
+                                    axis, split_axis=0, concat_axis=0, tiled=False)
+    recv = recv.reshape(n_shards * cap_per_dest, nl)
+    recv_valid = recv_valid.reshape(-1)
+
+    # keys_state arrives as the local block (1, n_arrays, C)
+    local = keys_state[0]
+    keys_t = tuple(local[i] for i in range(local.shape[0]))
+    new_keys, new_counts, ovf = _insert_body(keys_t, counts_state, recv,
+                                             recv_valid, cap_frac=1)
+    total_dropped = jax.lax.psum(n_dropped, axis)
+    return (jnp.stack(new_keys)[None], new_counts, ovf[None],
+            total_dropped)
+
+
+class ShardedHashCounter:
+    """Mesh-wide k-mer counter: k-mer space hash-partitioned across the
+    devices of `mesh`, each shard holding an independent device hash
+    table (ops/devhash.py).  Counts for a k-mer exist on exactly one
+    device — merges are pure collectives, no locks."""
+
+    def __init__(self, mesh: Mesh, k: int, capacity_log2: int,
+                 cap_per_dest: int, axis: str = "shard"):
+        from ..ops import limbs as lbops
+        from ..ops.devhash import SENTINEL
+        self.mesh = mesh
+        self.k = k
+        self.axis = axis
+        self.cap_per_dest = cap_per_dest
+        D = mesh.devices.size
+        nl = lbops.n_limbs(k + 1)
+        self.n_arrays = 2 + nl
+        C = 1 << capacity_log2
+        sh2 = NamedSharding(mesh, P(axis, None, None))
+        sh1 = NamedSharding(mesh, P(axis))
+        import numpy as _np
+        self.keys = jax.device_put(
+            _np.full((D, self.n_arrays, C), SENTINEL, _np.uint32), sh2)
+        self.counts = jax.device_put(_np.zeros((D * C,), _np.int32), sh1)
+        self._ovf = np.zeros((), np.int64)
+
+        body = functools.partial(_route_and_insert, k1=k + 1, axis=axis,
+                                 cap_per_dest=cap_per_dest)
+        self._step = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis), P(axis, None), P(axis)),
+            out_specs=(P(axis, None, None), P(axis), P(axis), P()),
+        ), donate_argnums=(0, 1))
+
+    def insert_batch(self, bases: np.ndarray, lengths: np.ndarray) -> None:
+        db, dl = device_put_sharded_batch(bases, lengths, self.mesh, self.axis)
+        self.keys, self.counts, ovf, dropped = self._step(
+            self.keys, self.counts, db, dl)
+        self._ovf = self._ovf + np.asarray(ovf).sum() + int(dropped)
+
+    def finalize(self):
+        """Gather all shard tables to host, merge (disjoint key spaces)."""
+        if int(self._ovf) > 0:
+            raise RuntimeError(
+                f"ShardedHashCounter overflow ({int(self._ovf)}); grow "
+                f"capacity or cap_per_dest")
+        keys = np.asarray(self.keys)     # (D, n_arrays, C)
+        counts = np.asarray(self.counts).reshape(keys.shape[0], -1)
+        runs = []
+        for d in range(keys.shape[0]):
+            live = counts[d] > 0
+            payload = keys[d, 2:, :].T[live]
+            runs.append((np.ascontiguousarray(payload),
+                         counts[d][live].astype(np.int64)))
+        return so.np_merge_count_runs(runs)
