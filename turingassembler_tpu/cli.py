@@ -255,6 +255,42 @@ def cmd_barcode_hit(cfg: Config):
             print(f"edge {e} ({int(g.edge_rc[e])}): {n} reads")
 
 
+@command("split_molecules")
+def cmd_split_molecules(cfg: Config):
+    """Per-barcode molecule report: order each barcode's edge hits into
+    molecules (reference split_molecules_process, process.c:271-365)."""
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .scaffold.molecules import hit_all_barcodes
+    set_log_stage("split_molecules")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    bx_table, _ = hit_all_barcodes(cfg, g, rpath)
+    import os
+    out = os.path.join(cfg.out_dir, "molecules_by_barcode.txt")
+    with open(out, "w") as fp:
+        for bc in sorted(bx_table):
+            hits = bx_table[bc]
+            parts = " ".join(f"{e}:{c}" for e, c in sorted(hits.items()))
+            fp.write(f"{bc}\t{parts}\n")
+    print(out)
+
+
+@command("mm_index")
+def cmd_mm_index(cfg: Config):
+    """Dump minimizer-index statistics for a graph (reference mm_index
+    debug cmd; singleton stats mm_singleton_stats minimizers.c:577)."""
+    from .io import asmg
+    from .mapper.minimizers import EdgeMinimizerIndex
+    set_log_stage("mm_index")
+    g = asmg.load_graph(cfg.in_file)
+    idx = EdgeMinimizerIndex.build(g)
+    n = len(idx.keys)
+    singles = int(idx.singleton.sum())
+    print(f"minimizers: {n} distinct, {singles} singletons "
+          f"({100.0 * singles / max(n, 1):.1f}%), k={idx.k} w={idx.w}")
+
+
 @command("bin2text")
 def cmd_bin2text(cfg: Config):
     """Graph round-trip debug dump (reference process.c:31-45)."""
