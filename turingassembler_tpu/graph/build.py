@@ -37,6 +37,29 @@ def _void_view(a: np.ndarray) -> np.ndarray:
     return a.view([("", a.dtype)] * a.shape[1]).ravel()
 
 
+def _np_fingerprint64(limbs: np.ndarray) -> np.ndarray:
+    """64-bit mix of a limb row (two independent 32-bit murmur-style
+    mixes packed into one uint64)."""
+    def mix(seed):
+        h = np.full(len(limbs), seed, np.uint32)
+        for l in range(limbs.shape[1]):
+            x = limbs[:, l].copy()
+            x *= np.uint32(0xCC9E2D51)
+            x = (x << np.uint32(15)) | (x >> np.uint32(17))
+            x *= np.uint32(0x1B873593)
+            h ^= x
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return h
+    return (mix(np.uint32(0x9E3779B9)).astype(np.uint64) << np.uint64(32)) \
+        | mix(np.uint32(0x27D4EB2F)).astype(np.uint64)
+
+
 def _pointer_double_to_head(prev: np.ndarray):
     """Given functional `prev` pointers (-1 = head), return (head index,
     distance) for every element, breaking cycles at their min element.
@@ -91,17 +114,17 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     cpre = np.where(o_pre[:, None], pre_rc, pre)
     csuf = np.where(o_suf[:, None], suf_rc, suf)
 
-    # unique canonical k-mers -> dense ids (lexsort + boundary scan is
-    # markedly faster than np.unique on a void view at multi-M rows)
+    # unique canonical k-mers -> dense ids.  Node identity only ever
+    # feeds adjacency/successor bookkeeping (sequences come from the
+    # k-edges), so nodes are identified by a 64-bit fingerprint of the
+    # canonical k-mer: one uint64 np.unique instead of a multi-limb
+    # lexsort — ~3x faster at 10M+ rows.  Collision odds ~(2n)^2/2^65,
+    # the same guarantee class as the counting tables.
     allk = np.concatenate([cpre, csuf], axis=0)
-    order = lb.np_lexsort_rows(allk)
-    sorted_k = allk[order]
-    starts = np.ones(len(sorted_k), bool)
-    np.any(sorted_k[1:] != sorted_k[:-1], axis=1, out=starts[1:])
-    gid_sorted = np.cumsum(starts) - 1
-    m = int(gid_sorted[-1]) + 1 if len(gid_sorted) else 0
-    inv = np.empty(2 * n, np.int64)
-    inv[order] = gid_sorted
+    fp = _np_fingerprint64(allk)
+    uniq, inv = np.unique(fp, return_inverse=True)
+    m = len(uniq)
+    inv = inv.astype(np.int64)
     node_pre = inv[:n]
     node_suf = inv[n:]
 
