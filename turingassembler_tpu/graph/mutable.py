@@ -221,6 +221,17 @@ class MutableGraph:
         self.remove_edge(e3)
         self.remove_edge(e_rc1)
 
+    def isolate_edge(self, e: int) -> None:
+        """Detach edge e from its source onto a fresh node (reference
+        isolate_edge, src/barcode_resolve2.c:936-945)."""
+        src = self.edges[e].source
+        if e in self.node_adj[src]:
+            self.node_adj[src].remove(e)
+        n = self.create_node()
+        self.edges[e].source = n
+        self.node_adj[n] = [e]
+        self.edges[self.edges[e].rc_id].target = self.node_rc[n]
+
     def join_edge_with_fill(self, e1: int, e2: int, fill: np.ndarray,
                             trim_e1: int = 0, trim_e2: int = 0) -> None:
         """Join e1 and e2 with an explicit fill sequence between them,

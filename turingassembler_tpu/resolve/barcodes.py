@@ -109,6 +109,70 @@ class BarcodeResolver:
                 c += 1
         return s / c if c else uni_cov
 
+    def check_long_loop(self, e: int, uni_cov: float) -> int:
+        """Unroll or break a 1-in/1-out loop pair before 2-2 handling
+        (reference check_long_loop, src/barcode_resolve2.c:1119-1215)."""
+        g = self.g
+        u = g.edges[e].source
+        v = g.edges[e].target
+        e_rc = g.edges[e].rc_id
+        u_rc, v_rc = g.node_rc[u], g.node_rc[v]
+        if (g.deg(u) != 1 or g.deg(v_rc) != 1 or
+                g.deg(u_rc) > 2 or g.deg(v) > 2):
+            return 0
+        e2 = e_return = -1
+        for ee in g.node_adj[v]:
+            if g.edges[ee].target == u:
+                e_return = ee
+            else:
+                e2 = ee
+        if e_return == -1 or e2 == -1:
+            return 0
+        e1 = e_return_rc = -1
+        for ee in g.node_adj[u_rc]:
+            if g.edges[ee].target == v_rc:
+                e_return_rc = ee
+            else:
+                e1 = ee
+        if e_return_rc != g.edges[e_return].rc_id:
+            return 0
+        f_e = g.edge_cov(e) / uni_cov
+        f_ret = g.edge_cov(e_return) / uni_cov
+        r_e = _convert_cov_range(f_e)
+        r_ret = _convert_cov_range(f_ret)
+        rep = min(r_e[1] - 1, r_ret[1])
+        if rep <= 0:
+            if g.edges[e_return].seq_len < 100 or f_e < f_ret:
+                g.remove_edge_pair(e_return)
+                return 1
+            rep = 1
+        g.unroll_loop_forward(e, e_return, rep)
+        g.unroll_loop_forward(e_rc, e_return_rc, rep)
+        g.remove_edge_pair(e_return)
+
+        def pos_or_short(a, b):
+            if (g.edges[a].seq_len >= CONTIG_USE_BARCODE and
+                    g.edges[b].seq_len >= CONTIG_USE_BARCODE):
+                return self.positive(a, b) == 1
+            return True
+
+        flag1 = e1 != -1 and pos_or_short(e1, e)
+        flag2 = e2 != -1 and pos_or_short(e2, e_rc)
+        flag3 = (e1 != -1 and e2 != -1 and
+                 g.edges[e1].seq_len >= CONTIG_USE_BARCODE and
+                 g.edges[e2].seq_len >= CONTIG_USE_BARCODE and
+                 self.positive(e1, e2) == 1)
+        if (flag1 and flag2) or (flag3 and (flag1 or flag2 or
+                                            g.edges[e].seq_len < 100)):
+            g.join_edge3(g.edges[e1].rc_id, e, e2, g.edges[e].count)
+            g.remove_edge_pair(e)
+            return 1
+        if not flag1:
+            g.isolate_edge(e)
+        if not flag2:
+            g.isolate_edge(e2)
+        return 0
+
     # -- 2-2 bridge ---------------------------------------------------------
     def check_2_2_high_strict(self, e: int, uni_cov: float) -> int:
         g = self.g
@@ -257,7 +321,10 @@ def resolve_n_m_simple(g: AsmGraph) -> AsmGraph:
         for e in range(mg.n_e):
             if mg.edges[e].source == -1:
                 continue
-            cnt += res.check_2_2_high_strict(e, uni)
+            ret = res.check_long_loop(e, uni)
+            if ret == 0:
+                ret = res.check_2_2_high_strict(e, uni)
+            cnt += ret
         if cnt == 0:
             break
     return asm_condense(mg.to_asm())
