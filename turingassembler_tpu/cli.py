@@ -315,7 +315,11 @@ def main(argv=None) -> int:
     cfg = _cfg_from_args(a)
     level = logging.DEBUG if a.verbose else logging.INFO
     init_logger(cfg.out_dir, level)
-    COMMANDS[a.cmd](cfg)
+    try:
+        COMMANDS[a.cmd](cfg)
+    except FileNotFoundError as e:
+        print(f"{a.cmd}: file not found: {e}", file=sys.stderr)
+        return 1
     return 0
 
 
