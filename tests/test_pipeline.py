@@ -90,3 +90,19 @@ def test_sort_read_and_index(tmp_path):
         assert cm.startswith(b"BX:Z:")
         bcseq = cm.split()[0][5:]
         assert decode_barcode_seq(bcseq) in some
+
+
+def test_cli_gzip_inputs(tmp_path):
+    """End-to-end with gzip-compressed FASTQ through the native loader."""
+    import gzip
+    genome = tt.random_genome(8000, seed=17)
+    f1, f2, fI, _ = write_synthetic_library(tmp_path, genome, n_molecules=80)
+    for f in (f1, f2):
+        with open(f, "rb") as src, gzip.open(f + ".gz", "wb") as dst:
+            dst.write(src.read())
+    out = str(tmp_path / "gz_out")
+    rc = cli_main(["basic", "-1", f1 + ".gz", "-2", f2 + ".gz",
+                   "-l", "bioturing", "-k0", "31", "-o", out])
+    assert rc == 0
+    recs = list(read_fasta(os.path.join(out, "graph_k_31_level_2.fasta")))
+    assert recs and max(len(s) for _, s in recs) >= 7000

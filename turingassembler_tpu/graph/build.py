@@ -69,14 +69,18 @@ def _pointer_double_to_head(prev: np.ndarray):
     rounds instead of a pointer chase.
     """
     n = len(prev)
-    idx = np.arange(n, dtype=np.int64)
+    prev = prev.astype(np.int32)
+    idx = np.arange(n, dtype=np.int32)
     for _round in range(3):  # at most 2 rounds needed (cycles then done)
-        anc = np.where(prev >= 0, prev, idx)
+        anc = np.where(prev >= 0, prev, idx).astype(np.int32)
         dist = (prev >= 0).astype(np.int64)
         steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
         for _ in range(steps):
+            new_anc = anc[anc]
+            if np.array_equal(new_anc, anc):  # early convergence
+                break
             dist = dist + dist[anc]
-            anc = anc[anc]
+            anc = new_anc
         unconverged = prev[anc] >= 0
         if not unconverged.any():
             return anc, dist
@@ -148,8 +152,8 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     tgt_or = np.concatenate([o_suf_i, 1 - o_pre_i])
     lastbase = np.concatenate([last, 3 - first]).astype(np.uint8)
 
-    src_key = src_node * 2 + src_or
-    tgt_key = tgt_node * 2 + tgt_or
+    src_key = (src_node * 2 + src_or).astype(np.int32)
+    tgt_key = (tgt_node * 2 + tgt_or).astype(np.int32)
 
     # unique successor lookup: sort directed k-edges by source key
     order = np.argsort(src_key, kind="stable")
