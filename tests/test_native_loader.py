@@ -58,3 +58,59 @@ def test_native_throughput_sane(tmp_path):
     dt = time.time() - t0
     assert total == 20000
     assert dt < 5.0  # native should chew 20k reads well under a second
+
+
+# ---------------------------------------------------------------------------
+# native barcode sorter (native/sort_read.cpp) vs the python loop
+# ---------------------------------------------------------------------------
+
+def _file_bytes(d, name):
+    import os
+    with open(os.path.join(d, name), "rb") as fp:
+        return fp.read()
+
+
+@pytest.mark.parametrize("lib", ["ust", "bioturing", "10x"])
+def test_native_sorter_matches_python(tmp_path, lib, monkeypatch):
+    import os
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.barcode import sort_read as sr
+    from turingassembler_tpu.config import Config, LIB_TYPE_NAMES
+    from turingassembler_tpu.io.fastq import encode_barcode
+
+    if sr._NATIVE_SORT is None:
+        pytest.skip("native sorter unavailable")
+
+    genome = tt.random_genome(15000, seed=11)
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=3000, n_molecules=60,
+        reads_per_molecule=30, read_len=80, insert=200, seed=7)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            s1 = ACGT[r1[i]].tobytes().decode()
+            s2 = ACGT[r2[i]].tobytes().decode()
+            bseq = encode_barcode(int(bcs[i]) + 1, 16).decode()
+            if lib == "ust":
+                o1.write(f"@read{i}\n{s1}\n+\n{'I'*len(s1)}\n")
+            elif lib == "bioturing":
+                o1.write(f"@read{i} BX:Z:{bseq} QB:Z:{'I'*16}\n{s1}\n+\n{'I'*len(s1)}\n")
+            else:  # 10x: 16bp barcode + 7bp UMI prefix on R1
+                o1.write(f"@read{i}\n{bseq}AAAAAAA{s1}\n+\n{'I'*(23+len(s1))}\n")
+            o2.write(f"@read{i}\n{s2}\n+\n{'I'*len(s2)}\n")
+            oI.write(f"@read{i}\n{bseq}\n+\n{'I'*16}\n")
+
+    files_I = (fI,) if lib == "ust" else ()
+    outs = {}
+    for native in ("1", "0"):
+        monkeypatch.setenv("TA_SORT_NATIVE", native)
+        d = str(tmp_path / f"out{native}")
+        os.makedirs(d, exist_ok=True)
+        cfg = Config(files_1=(f1,), files_2=(f2,), files_I=files_I,
+                     lib_type=LIB_TYPE_NAMES[lib], out_dir=d)
+        sr.sort_reads(cfg)
+        outs[native] = tuple(_file_bytes(d, n) for n in
+                             ["R1.sorted.fq", "R2.sorted.fq", "barcode.idx"])
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"][2]) % 40 == 0 and len(outs["1"][2]) > 0

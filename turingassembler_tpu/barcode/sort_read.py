@@ -37,6 +37,54 @@ from ..io.fastq import NT4, read_fastq_pair_batches
 BX_NONE = 0xFFFFFFFFFFFFFFFF
 
 
+def _load_native_sorter():
+    """ctypes handle to the C++ sorter (native/sort_read.cpp), or None."""
+    import ctypes
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "libtasort.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.ta_sort_reads.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.ta_sort_reads.restype = ctypes.c_int64
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE_SORT = _load_native_sorter()
+
+
+def _sort_reads_native(cfg: Config, out_dir: str) -> Optional[ReadPath]:
+    """Native C++ sort (the production path for full-scale libraries);
+    byte-identical outputs to the Python loop below.  None on failure."""
+    import ctypes
+    lib_map = {LIB_TYPE_BIOT: 1, LIB_TYPE_UST: 2, LIB_TYPE_10X: 3}
+    if _NATIVE_SORT is None or cfg.lib_type not in lib_map:
+        return None
+
+    def carr(paths):
+        a = (ctypes.c_char_p * max(len(paths), 1))()
+        for i, p in enumerate(paths):
+            a[i] = os.fsencode(p)
+        return a
+
+    r1p = os.path.join(out_dir, "R1.sorted.fq")
+    r2p = os.path.join(out_dir, "R2.sorted.fq")
+    idxp = os.path.join(out_dir, "barcode.idx")
+    rc = _NATIVE_SORT.ta_sort_reads(
+        carr(cfg.files_1), carr(cfg.files_2), carr(cfg.files_I),
+        len(cfg.files_1), len(cfg.files_I), lib_map[cfg.lib_type],
+        os.fsencode(r1p), os.fsencode(r2p), os.fsencode(idxp))
+    if rc < 0:
+        return None
+    return ReadPath(r1p, r2p, idxp)
+
+
 @dataclass
 class ReadPath:
     R1_path: str
@@ -85,6 +133,11 @@ def sort_reads(cfg: Config, out_dir: Optional[str] = None) -> ReadPath:
     lib = cfg.lib_type
     if lib == LIB_TYPE_SORTED:
         return ReadPath.from_sorted(cfg)
+
+    if os.environ.get("TA_SORT_NATIVE", "1") == "1":
+        rp = _sort_reads_native(cfg, out_dir)
+        if rp is not None:
+            return rp
 
     recs1: List[bytes] = []
     recs2: List[bytes] = []

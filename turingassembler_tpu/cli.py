@@ -303,6 +303,8 @@ def cmd_bin2text(cfg: Config):
 
 
 def main(argv=None) -> int:
+    from .ops.hostmem import tune_host_malloc
+    tune_host_malloc()
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(
         prog="turingassembler_tpu",

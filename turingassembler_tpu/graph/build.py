@@ -60,32 +60,72 @@ def _np_fingerprint64(limbs: np.ndarray) -> np.ndarray:
         | mix(np.uint32(0x27D4EB2F)).astype(np.uint64)
 
 
+def _load_native_list_rank():
+    """ctypes handle to the C++ chain-walk kernel (native/graph_kernels.cpp),
+    or None if the shared lib is absent."""
+    import ctypes
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "libtagraph.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.ta_list_rank.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.ta_list_rank.restype = None
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE_GRAPH = _load_native_list_rank()
+
+
 def _pointer_double_to_head(prev: np.ndarray):
     """Given functional `prev` pointers (-1 = head), return (head index,
     distance) for every element, breaking cycles at their min element.
 
-    This is the parallel-friendly formulation of the reference's
-    sequential unitig walk (src/kmer_build.c:469-492): O(log n) gather
-    rounds instead of a pointer chase.
+    Fast path: the native serial chain walk (the reference's own
+    formulation, src/kmer_build.c:469-492, O(n) dependent loads).
+    Fallback: pointer doubling over a shrinking unconverged frontier,
+    O(log n) gather rounds.
     """
+    if _NATIVE_GRAPH is not None:
+        import ctypes
+        n = len(prev)
+        prev32 = np.ascontiguousarray(prev, np.int32)
+        head_of = np.empty(n, np.int32)
+        dist = np.empty(n, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        _NATIVE_GRAPH.ta_list_rank(
+            prev32.ctypes.data_as(i32p), ctypes.c_int64(n),
+            head_of.ctypes.data_as(i32p), dist.ctypes.data_as(i32p))
+        return head_of, dist
     n = len(prev)
     prev = prev.astype(np.int32)
     idx = np.arange(n, dtype=np.int32)
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     for _round in range(3):  # at most 2 rounds needed (cycles then done)
-        anc = np.where(prev >= 0, prev, idx).astype(np.int32)
-        dist = (prev >= 0).astype(np.int64)
-        steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+        is_head = prev < 0
+        anc = np.where(is_head, idx, prev)
+        dist = (~is_head).astype(np.int32)
+        # element i is converged once anc[i] is a head; converged entries
+        # are frozen (their anc/dist are final and safe to read), so each
+        # jump round touches only the shrinking unconverged frontier
+        active = np.flatnonzero(~is_head & ~is_head[anc]).astype(np.int32)
         for _ in range(steps):
-            new_anc = anc[anc]
-            if np.array_equal(new_anc, anc):  # early convergence
+            if not len(active):
                 break
-            dist = dist + dist[anc]
-            anc = new_anc
-        unconverged = prev[anc] >= 0
-        if not unconverged.any():
+            a = anc[active]
+            dist[active] += dist[a]
+            anc[active] = anc[a]
+            active = active[~is_head[anc[active]]]
+        if not len(active):
             return anc, dist
         # cycles: find min element of each cycle, make it a head
-        cyc = np.flatnonzero(unconverged)
+        cyc = active
         val = idx.copy()
         nxt = prev.copy()
         for _ in range(steps):
@@ -155,20 +195,18 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     src_key = (src_node * 2 + src_or).astype(np.int32)
     tgt_key = (tgt_node * 2 + tgt_or).astype(np.int32)
 
-    # unique successor lookup: sort directed k-edges by source key
-    order = np.argsort(src_key, kind="stable")
-    sorted_src = src_key[order]
+    # unique successor lookup: a directed k-mer key with out-degree 1 has
+    # exactly one out-k-edge, so a plain scatter (last-writer-wins for the
+    # filtered-out multi-degree keys) replaces the argsort+searchsorted
+    succ_of_key = np.full(2 * m, -1, np.int32)
+    succ_of_key[src_key] = np.arange(2 * n, dtype=np.int32)
     # target (i,o) continues iff outdeg(i,o)==1 and indeg(i,o)==1
     t_out = degs[tgt_node, tgt_or]
     t_in = degs[tgt_node, 1 - tgt_or]
     can_continue = (t_out == 1) & (t_in == 1)
-    pos = np.searchsorted(sorted_src, tgt_key)
-    pos_ok = pos < len(sorted_src)
-    cand = order[np.clip(pos, 0, len(order) - 1)]
-    nxt = np.where(can_continue & pos_ok & (sorted_src[np.clip(pos, 0, len(order) - 1)] == tgt_key),
-                   cand, -1)
+    nxt = np.where(can_continue, succ_of_key[tgt_key], np.int32(-1))
     # never continue into self (degenerate palindromic self-successor)
-    nxt = np.where(nxt == np.arange(2 * n), -1, nxt)
+    nxt = np.where(nxt == np.arange(2 * n, dtype=np.int32), np.int32(-1), nxt)
 
     # head condition: source k-mer is not an interior (1,1) k-mer
     s_out = degs[src_node, src_or]
