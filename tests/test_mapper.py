@@ -107,3 +107,31 @@ def test_map_reads_position_accuracy():
     assert good.mean() > 0.9
     err = np.abs(starts[good] - starts_true[good])
     assert np.median(err) <= 2
+
+
+def test_sortless_tally_matches_sort_oracle():
+    """The open-addressing (read, edge) tally must reproduce the
+    sort-based formulation exactly (edge, hits, and start estimates)."""
+    import jax.numpy as jnp
+    from turingassembler_tpu.mapper import minimizers as mm
+
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    lens = g.edge_len()
+    eid = int(np.argmax(lens * g.alive_mask()))
+    eseq = g.get_seq(eid)
+    B, L = 64, 100
+    sts = rng.integers(0, len(eseq) - L, B)
+    reads = np.stack([eseq[s : s + L] for s in sts]).astype(np.uint8)
+    # mix in random (unmappable) and short/pad reads
+    reads[B // 2 :] = rng.integers(0, 4, (B - B // 2, L)).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    lengths[-3:] = 0
+    keys, edge, pos, count = map(jnp.asarray,
+                                 (idx.keys, idx.edge, idx.pos, idx.count))
+    old = [np.asarray(x) for x in mm._map_batch_sort(
+        reads, lengths, keys, edge, pos, count, idx.k, idx.w)]
+    new = [np.asarray(x) for x in mm._map_batch(
+        reads, lengths, keys, edge, pos, count, idx.k, idx.w)]
+    for a, b in zip(old, new):
+        assert np.array_equal(a, b)

@@ -149,9 +149,10 @@ class EdgeMinimizerIndex:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
-def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
-    """Per-read best-edge vote.  Returns (best_edge (B,) int32 [-1 if
-    unmapped/ambiguous], best_hits (B,) int32, est_start (B,) int32)."""
+def _map_batch_sort(bases, lengths, keys, edge, pos, count, k: int, w: int):
+    """Sort-based tally (original formulation; kept as the oracle for
+    the sortless path below — lax.sort at B*P rows is the slowest
+    primitive on this platform)."""
     B, L = bases.shape
     km, h, is_mm = minimizer_mask(bases, lengths, k, w)
     P = km.shape[1]
@@ -193,6 +194,90 @@ def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
         jnp.where(is_best, run_edge, -1))
     best_start = jnp.full((B + 1,), jnp.int32(1 << 30)).at[r].min(
         jnp.where(is_best, run_start, 1 << 30))
+    return (best_edge[:B], best[:B], jnp.where(best_edge[:B] >= 0,
+                                               best_start[:B], -1))
+
+
+def _fmix32(x):
+    x ^= x >> jnp.uint32(16)
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> jnp.uint32(13)
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> jnp.uint32(16)
+    return x
+
+
+MAP_TALLY_LOG2 = 22   # (read, edge) tally table slots per batch
+MAP_TALLY_PROBES = 6
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
+    """Per-read best-edge vote.  Returns (best_edge (B,) int32 [-1 if
+    unmapped/ambiguous], best_hits (B,) int32, est_start (B,) int32).
+
+    The per-(read, edge) tally is an open-addressing claim/verify table
+    (the devhash pattern, ops/devhash.py) instead of a B*P-row
+    lax.sort: scatter/gather sustains ~60M random accesses/s on this
+    platform while lax.sort is ~1000x off that.  Distinct (read, edge)
+    pairs are far fewer than lanes, so the table load is tiny and
+    nearly every lane resolves in the first probe round."""
+    B, L = bases.shape
+    km, h, is_mm = minimizer_mask(bases, lengths, k, w)
+    P = km.shape[1]
+    flat = km.reshape(B * P, NL)
+    idx, found = so.searchsorted_limbs(keys, flat)
+    found = found & is_mm.reshape(-1)
+    hit_sing = found & (count[idx] == 1)
+    hit_edge = jnp.where(hit_sing, edge[idx], jnp.int32(0))
+    hit_pos = pos[idx]
+    read_id = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+    p_read = jnp.tile(jnp.arange(P, dtype=jnp.int32), (B,))
+    start_est = jnp.maximum(hit_pos - p_read, 0)
+
+    T = 1 << MAP_TALLY_LOG2
+    mask = jnp.uint32(T - 1)
+    ru = read_id.astype(jnp.uint32)
+    eu = hit_edge.astype(jnp.uint32)
+    x = ru * jnp.uint32(0x9E3779B1) ^ eu * jnp.uint32(0x85EBCA77)
+    slot = _fmix32(x) & mask
+    stride = (_fmix32(x ^ jnp.uint32(0x27D4EB2F)) | jnp.uint32(1)) & mask
+
+    t_read = jnp.full((T,), -1, jnp.int32)
+    t_edge = jnp.full((T,), -1, jnp.int32)
+    active = hit_sing
+    res_slot = jnp.full((B * P,), T, jnp.int32)
+    # claim/verify rounds: colliding claims race, losers fail the
+    # verify gather and re-probe (duplicate lanes of the SAME pair
+    # write identical values, so unique_indices stays safe)
+    for _ in range(MAP_TALLY_PROBES):
+        sl = slot.astype(jnp.int32)
+        cur_r = jnp.take(t_read, sl)
+        empty = cur_r < 0
+        wslot = jnp.where(active & empty, sl, T)
+        t_read = t_read.at[wslot].set(read_id, mode="drop", unique_indices=True)
+        t_edge = t_edge.at[wslot].set(hit_edge, mode="drop", unique_indices=True)
+        mine = active & (jnp.take(t_read, sl) == read_id) & \
+            (jnp.take(t_edge, sl) == hit_edge)
+        res_slot = jnp.where(mine, sl, res_slot)
+        active = active & ~mine
+        slot = (slot + stride) & mask
+
+    counts_t = jnp.zeros((T,), jnp.int32).at[res_slot].add(1, mode="drop")
+    start_t = jnp.full((T,), jnp.int32(1 << 30)).at[res_slot].min(
+        start_est, mode="drop")
+
+    live = t_read >= 0
+    r = jnp.where(live, t_read, B)
+    best = jnp.zeros((B + 1,), jnp.int32).at[r].max(counts_t, mode="drop")
+    is_eq = live & (counts_t > 0) & (counts_t == jnp.take(best, r))
+    n_best = jnp.zeros((B + 1,), jnp.int32).at[r].add(
+        is_eq.astype(jnp.int32), mode="drop")
+    is_best = is_eq & (jnp.take(n_best, r) == 1)
+    best_edge = jnp.full((B + 1,), jnp.int32(-1)).at[r].max(
+        jnp.where(is_best, t_edge, -1), mode="drop")
+    best_start = jnp.full((B + 1,), jnp.int32(1 << 30)).at[r].min(
+        jnp.where(is_best, start_t, 1 << 30), mode="drop")
     return (best_edge[:B], best[:B], jnp.where(best_edge[:B] >= 0,
                                                best_start[:B], -1))
 
