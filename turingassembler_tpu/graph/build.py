@@ -75,8 +75,12 @@ def _load_native_list_rank():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.ta_list_rank.restype = None
+        lib.ta_unique_ids.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.ta_unique_ids.restype = ctypes.c_int64
         return lib
-    except OSError:
+    except (OSError, AttributeError):
         return None
 
 
@@ -166,9 +170,20 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     # the same guarantee class as the counting tables.
     allk = np.concatenate([cpre, csuf], axis=0)
     fp = _np_fingerprint64(allk)
-    uniq, inv = np.unique(fp, return_inverse=True)
-    m = len(uniq)
-    inv = inv.astype(np.int64)
+    if _NATIVE_GRAPH is not None:
+        import ctypes
+        fp = np.ascontiguousarray(fp)
+        inv32 = np.empty(len(fp), np.int32)
+        cap = 1 << max(int(np.ceil(np.log2(max(2 * len(fp), 2)))), 4)
+        m = int(_NATIVE_GRAPH.ta_unique_ids(
+            fp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(len(fp)), ctypes.c_int64(cap),
+            inv32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+        inv = inv32.astype(np.int64)
+    else:
+        uniq, inv = np.unique(fp, return_inverse=True)
+        m = len(uniq)
+        inv = inv.astype(np.int64)
     node_pre = inv[:n]
     node_suf = inv[n:]
 
@@ -229,8 +244,9 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     u_index[head_ids] = np.arange(n_edges)
     u_of = u_index[head_of]                          # unitig id per directed k-edge
 
-    ulen_kedges = np.zeros(n_edges, np.int64)
-    np.maximum.at(ulen_kedges, u_of, dist + 1)
+    # chain length = kedges per unitig (each directed k-edge belongs to
+    # exactly one unitig) — bincount beats the per-element ufunc.at
+    ulen_kedges = np.bincount(u_of, minlength=n_edges).astype(np.int64)
     seq_len = k + 1 + (ulen_kedges - 1)              # = k + ulen
     seq_off = np.concatenate([[0], np.cumsum(seq_len)]).astype(np.int64)
     total = int(seq_off[-1])
@@ -249,8 +265,8 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     seq_data[seq_off[u_of] + k + dist] = lastbase
 
     # counts: sum of k-edge counts along the unitig
-    ecount = np.zeros(n_edges, np.int64)
-    np.add.at(ecount, u_of, counts[e_of_d])
+    ecount = np.bincount(u_of, weights=counts[e_of_d],
+                         minlength=n_edges).astype(np.int64)
 
     # rc pairing: rc unitig of u = unitig of rc(tail(u))
     tails = np.flatnonzero(nxt < 0)

@@ -13,6 +13,7 @@
 //
 // Build: make -C turingassembler_tpu/native   (g++ -O3 -shared)
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
@@ -49,6 +50,46 @@ void ta_list_rank(const int32_t *prev, int64_t n, int32_t *head_of,
             j = nxt[j];
         } while (j != m);
     }
+}
+
+// Dense-id assignment for 64-bit fingerprints: ids are first-seen
+// order (node identity only ever feeds adjacency bookkeeping, so no
+// sorted order is required — replaces np.unique(return_inverse)).
+// cap must be a power of two >= 2n.  Returns the number of unique keys.
+int64_t ta_unique_ids(const uint64_t *keys, int64_t n, int64_t cap,
+                      int32_t *ids_out) {
+    std::vector<uint64_t> tkey((size_t)cap);
+    std::vector<int32_t> tid((size_t)cap);
+    const uint64_t EMPTY = 0xFFFFFFFFFFFFFFFFull;
+    for (int64_t i = 0; i < cap; i++) tkey[(size_t)i] = EMPTY;
+    const uint64_t mask = (uint64_t)cap - 1;
+    int32_t next_id = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t k = keys[i];
+        if (k == EMPTY) k = EMPTY - 1;  // sentinel guard (fp-collision class)
+        // splitmix64 finalizer
+        uint64_t h = k;
+        h ^= h >> 30;
+        h *= 0xBF58476D1CE4E5B9ull;
+        h ^= h >> 27;
+        h *= 0x94D049BB133111EBull;
+        h ^= h >> 31;
+        uint64_t s = h & mask;
+        while (true) {
+            if (tkey[s] == k) {
+                ids_out[i] = tid[s];
+                break;
+            }
+            if (tkey[s] == EMPTY) {
+                tkey[s] = k;
+                tid[s] = next_id;
+                ids_out[i] = next_id++;
+                break;
+            }
+            s = (s + 1) & mask;
+        }
+    }
+    return next_id;
 }
 
 }  // extern "C"
