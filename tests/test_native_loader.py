@@ -114,3 +114,46 @@ def test_native_sorter_matches_python(tmp_path, lib, monkeypatch):
                              ["R1.sorted.fq", "R2.sorted.fq", "barcode.idx"])
     assert outs["1"] == outs["0"]
     assert len(outs["1"][2]) % 40 == 0 and len(outs["1"][2]) > 0
+
+
+def test_native_sorter_gzip_inputs(tmp_path, monkeypatch):
+    """Native sorter reads .gz inputs and matches plain-file output."""
+    import gzip as gzmod
+    import os
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.barcode import sort_read as sr
+    from turingassembler_tpu.config import Config, LIB_TYPE_UST
+    from turingassembler_tpu.io.fastq import encode_barcode
+
+    if sr._NATIVE_SORT is None:
+        pytest.skip("native sorter unavailable")
+    genome = tt.random_genome(8000, seed=13)
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=2000, n_molecules=30,
+        reads_per_molecule=20, read_len=80, insert=200, seed=3)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            s1 = ACGT[r1[i]].tobytes().decode()
+            s2 = ACGT[r2[i]].tobytes().decode()
+            bseq = encode_barcode(int(bcs[i]) + 1, 16).decode()
+            o1.write(f"@read{i}\n{s1}\n+\n{'I'*len(s1)}\n")
+            o2.write(f"@read{i}\n{s2}\n+\n{'I'*len(s2)}\n")
+            oI.write(f"@read{i}\n{bseq}\n+\n{'I'*16}\n")
+    for f in (f1, f2, fI):
+        with open(f, "rb") as src, gzmod.open(f + ".gz", "wb") as dst:
+            dst.write(src.read())
+    monkeypatch.setenv("TA_SORT_NATIVE", "1")
+    outs = {}
+    for tagged, (a, b, c) in [("plain", (f1, f2, fI)),
+                              ("gz", (f1 + ".gz", f2 + ".gz", fI + ".gz"))]:
+        d = str(tmp_path / tagged)
+        os.makedirs(d, exist_ok=True)
+        cfg = Config(files_1=(a,), files_2=(b,), files_I=(c,),
+                     lib_type=LIB_TYPE_UST, out_dir=d)
+        rp = sr.sort_reads(cfg)
+        assert rp is not None
+        outs[tagged] = tuple(_file_bytes(d, n) for n in
+                             ["R1.sorted.fq", "R2.sorted.fq", "barcode.idx"])
+    assert outs["plain"] == outs["gz"]
