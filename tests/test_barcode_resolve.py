@@ -76,3 +76,82 @@ def test_2_2_high_strict_resolution():
         return False
 
     assert found(h0s) and found(h1s)
+
+
+def test_complex_jungle_resolution():
+    """resolve_complex joins barcode-paired legs across a small jungle
+    of short repeat edges with a 50-N gap (reference resolve_complex /
+    join_n_m_small_jungle, src/barcode_resolve2.c:1419-1456, 1058)."""
+    from turingassembler_tpu.resolve.barcodes import resolve_complex
+
+    rng = np.random.default_rng(21)
+    A = rng.integers(0, 4, 6000).astype(np.uint8)
+    B = rng.integers(0, 4, 6000).astype(np.uint8)
+    C = rng.integers(0, 4, 6000).astype(np.uint8)
+    D = rng.integers(0, 4, 6000).astype(np.uint8)
+    R1 = rng.integers(0, 4, 300).astype(np.uint8)
+    R2 = rng.integers(0, 4, 300).astype(np.uint8)
+    # two molecules crossing the same two short repeats in swapped
+    # order -> a tangle of short edges between four long flanks
+    h0 = np.concatenate([A, R1, R2, B])
+    h1 = np.concatenate([C, R2, R1, D])
+    k = 21
+    r0, l0 = tt.sim_reads(h0, coverage=30, read_len=100, seed=5)
+    r1, l1 = tt.sim_reads(h1, coverage=30, read_len=100, seed=6)
+    ke, c = count_kedges_from_reads(np.concatenate([r0, r1]),
+                                    np.concatenate([l0, l1]), k)
+    g = build_graph_from_kedges(ke, c, k)
+    check_graph(g)
+
+    def which(e):
+        s = tt.codes_to_str(g.get_seq(e))
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rc = "".join(comp[ch] for ch in reversed(s))
+        for name, hap in (("A", A), ("B", B), ("C", C), ("D", D)):
+            hs = tt.codes_to_str(hap)
+            if s[50:-50] and (s[50:-50] in hs or rc[50:-50] in hs):
+                return name
+        return "R"
+
+    g.barcodes = [[{}, {}, {}] for _ in range(g.n_e)]
+    g.barcodes_scaf = [{} for _ in range(g.n_e)]
+    g.barcodes_cov = [{} for _ in range(g.n_e)]
+    g.aux_flag |= 1
+    bsets = {
+        "A": {i: 1 for i in range(0, 150)},
+        "B": {i: 1 for i in range(0, 150)},
+        "C": {i: 1 for i in range(150, 300)},
+        "D": {i: 1 for i in range(150, 300)},
+        "R": {i: 1 for i in range(0, 300, 10)},
+    }
+    labels = {}
+    for e in range(g.n_e):
+        w = which(e)
+        labels[e] = w
+        for lvl in range(3):
+            g.barcodes[e][lvl] = dict(bsets[w])
+    assert set(labels.values()) >= {"A", "B", "C", "D"}
+
+    n_before = int(g.alive_mask().sum())
+    g2 = resolve_complex(g)
+    n_after = int(g2.alive_mask().sum())
+    assert n_after < n_before  # jungle joins happened
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    def contigs_with(hap):
+        hs = tt.codes_to_str(hap)
+        out = set()
+        for e in range(g2.n_e):
+            if g2.edge_source[e] < 0:
+                continue
+            s = tt.codes_to_str(g2.get_seq(e))
+            rc = "".join(comp[ch] for ch in reversed(s))
+            if hs[100:-100] in s or hs[100:-100] in rc:
+                out.add(min(e, int(g2.edge_rc[e])))
+        return out
+
+    ca, cb, cc, cd = map(contigs_with, (A, B, C, D))
+    # barcode-consistent pairs co-locate; cross pairs don't
+    assert ca & cb, "A and B should be joined"
+    assert cc & cd, "C and D should be joined"
+    assert not (ca & cd) and not (cc & cb), "no cross-haplotype joins"

@@ -106,3 +106,25 @@ def test_cli_gzip_inputs(tmp_path):
     assert rc == 0
     recs = list(read_fasta(os.path.join(out, "graph_k_31_level_2.fasta")))
     assert recs and max(len(s) for _, s in recs) >= 7000
+
+
+def test_cli_stage_subcommands(tmp_path):
+    """build_3_4 / build_4_5 / resolve_bulges / resolve_complex_bulges /
+    resolve_212_cov load a graph file and write their stage output
+    (reference per-stage CLI resume, SURVEY.md §5.4)."""
+    genome = tt.random_genome(9000, seed=23)
+    f1, f2, fI, _ = write_synthetic_library(tmp_path, genome, n_molecules=80)
+    out = str(tmp_path / "out")
+    rc = cli_main(["basic", "-1", f1, "-2", f2, "-I", fI,
+                   "-l", "ust", "-k0", "31", "-o", out])
+    assert rc == 0
+    lvl2 = os.path.join(out, "graph_k_31_level_2.bin")
+    for cmd, suffix in [("build_3_4", "level_4"),
+                        ("build_4_5", "level_5"),
+                        ("resolve_bulges", "bulges_resolved"),
+                        ("resolve_complex_bulges", "complex_bulges_resolved"),
+                        ("resolve_212_cov", "212_resolved")]:
+        d = str(tmp_path / cmd)
+        rc = cli_main([cmd, "-i", lvl2, "-k0", "31", "-o", d])
+        assert rc == 0, cmd
+        assert os.path.exists(os.path.join(d, f"graph_k_31_{suffix}.bin")), cmd

@@ -157,6 +157,76 @@ def cmd_resolve_n_m(cfg: Config):
     save_graph_info(g, cfg.out_dir, "n_m_resolved")
 
 
+@command("build_3_4")
+def cmd_build_3_4(cfg: Config):
+    """level_3 -> level_4: barcode n-m simple resolution (reference
+    build_3_4, src/process.c:228-236 -> resolve_n_m_simple)."""
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.barcodes import resolve_n_m_simple
+    set_log_stage("build_3_4")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_n_m_simple(g)
+    save_graph_info(g, cfg.out_dir, "level_4")
+
+
+@command("build_4_5")
+def cmd_build_4_5(cfg: Config):
+    """level_4 -> level_5: complex-jungle barcode joins (reference
+    build_4_5, src/process.c:238-246 -> resolve_complex)."""
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.barcodes import resolve_complex
+    set_log_stage("build_4_5")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_complex(g)
+    save_graph_info(g, cfg.out_dir, "level_5")
+
+
+@command("resolve_bulges")
+def cmd_resolve_bulges(cfg: Config):
+    """Simple-bulge pass on a graph file (reference
+    resolve_simple_bulges_process, src/process.c:430-440)."""
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.bulges import resolve_simple_bulges_ite
+    set_log_stage("resolve_bulges")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_simple_bulges_ite(g)
+    save_graph_info(g, cfg.out_dir, "bulges_resolved")
+
+
+@command("resolve_complex_bulges")
+def cmd_resolve_complex_bulges(cfg: Config):
+    """Complex-bulge pass on a graph file (reference
+    resolve_complex_bulges_process, src/process.c:416-424)."""
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.bulges import resolve_complex_bulges_ite
+    set_log_stage("resolve_complex_bulges")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_complex_bulges_ite(g)
+    save_graph_info(g, cfg.out_dir, "complex_bulges_resolved")
+
+
+@command("resolve_212_cov")
+def cmd_resolve_212_cov(cfg: Config):
+    """2-1-2 repeat resolution by coverage matching (reference
+    resolve_212_cov_process, src/process.c:206-210)."""
+    from .graph.mutable import MutableGraph
+    from .graph.condense import asm_condense
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.big import resolve_212_by_cov_1step
+    set_log_stage("resolve_212_cov")
+    g = asmg.load_graph(cfg.in_file)
+    mg = MutableGraph.from_asm(g)
+    while resolve_212_by_cov_1step(mg):
+        pass
+    g = asm_condense(mg.to_asm())
+    save_graph_info(g, cfg.out_dir, "212_resolved")
+
+
 @command("build_coverage")
 def cmd_build_coverage(cfg: Config):
     """k=31 coverage recount (reference build_coverage_process)."""

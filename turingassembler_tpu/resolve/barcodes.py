@@ -40,6 +40,10 @@ CONTIG_LEVEL_0 = 500
 CONTIG_LEVEL_1 = 3000
 MIN_BARCODE_RATIO = 0.044  # assembly_graph.h:132
 MIN_CONTIG_READPAIR = 500  # assembly_graph.h:125
+MIN_CONTIG_BARCODE = 5000  # assembly_graph.h:121
+MIN_LONG_CONTIG = 1000     # assembly_graph.h:123
+MAX_MOLECULE_LEN = 30000   # assembly_graph.h:127
+MAX_EDGE_COUNT = 10000     # barcode_resolve2.c:29
 EPS = 1e-6
 
 
@@ -296,6 +300,140 @@ class BarcodeResolver:
         return ret
 
 
+    # -- jungle regions (resolve_complex) -----------------------------------
+    def find_region(self, se: int, min_contig_len: int,
+                    max_edge_count: int, genome_cov: float):
+        """BFS region of short/repetitive edges around the seed edge
+        (reference find_region, src/barcode_resolve2.c:93-129): expand
+        through an edge's target only while the edge is short or looks
+        repetitive; always include the rc node of each visited node."""
+        g = self.g
+        set_e = {se}
+        start = g.node_rc[g.edges[se].source]
+        set_v = {start}
+        q = [start]
+        li = 0
+        while li < len(q):
+            u = q[li]
+            li += 1
+            for e in g.node_adj[u]:
+                set_e.add(e)
+                ln = g.edges[e].seq_len
+                rhi = _convert_cov_range(g.edge_cov(e) / genome_cov)[1]
+                if ln < min_contig_len or (ln < MIN_CONTIG_BARCODE and rhi > 1):
+                    t = g.edges[e].target
+                    if t not in set_v:
+                        if len(q) + 1 >= max_edge_count * 2:
+                            return set_v, set_e
+                        set_v.add(t)
+                        q.append(t)
+            if g.deg(u):
+                ur = g.node_rc[u]
+                if ur not in set_v:
+                    if len(q) + 1 >= max_edge_count * 2:
+                        return set_v, set_e
+                    set_v.add(ur)
+                    q.append(ur)
+        return set_v, set_e
+
+    def detect_leg(self, set_e, min_contig_len: int = MIN_LONG_CONTIG,
+                   max_molecule_len: int = MAX_MOLECULE_LEN):
+        """Legs = hang edges (rc outside the region) plus very long
+        in-region edges; mid-length in-region edges are 'self' markers
+        (reference detect_leg, src/barcode_resolve2.c:131-160)."""
+        g = self.g
+        set_leg, set_self = set(), set()
+        for e in set_e:
+            if g.edges[e].rc_id not in set_e:
+                set_leg.add(e)
+        for e in set_e:
+            if e in set_leg:
+                continue
+            ln = g.edges[e].seq_len
+            if ln >= max_molecule_len:
+                set_leg.add(e)
+                set_leg.add(g.edges[e].rc_id)
+            elif ln >= min_contig_len:
+                set_self.add(e)
+        return set_leg, set_self
+
+    def _path_exists(self, set_e, s: int, t: int) -> bool:
+        """Reachability s->t using only region edges (reference
+        get_dist_simple, src/barcode_resolve2.c)."""
+        if s == t:
+            return True
+        g = self.g
+        vis = {s}
+        stack = [s]
+        while stack:
+            u = stack.pop()
+            for e in g.node_adj[u]:
+                if e not in set_e:
+                    continue
+                v = g.edges[e].target
+                if v == t:
+                    return True
+                if v not in vis:
+                    vis.add(v)
+                    stack.append(v)
+        return False
+
+    def _find_pair_check_path(self, set_e, se: int, set_leg) -> int:
+        """Best positive partner leg reachable through the region
+        (reference bc_find_pair_check_path, barcode_resolve2.c:428-460)."""
+        g = self.g
+        ret_e = sec_e = -1
+        s = g.node_rc[g.edges[se].source]
+        for e in set_leg:
+            if e == se or e == g.edges[se].rc_id:
+                continue
+            if self.positive(se, e) == 1 and \
+                    self._path_exists(set_e, s, g.edges[e].source):
+                if ret_e == -1 or self.greater(se, e, ret_e) == 1:
+                    sec_e = ret_e
+                    ret_e = e
+                elif sec_e == -1 or self.greater(se, e, sec_e) == 1:
+                    sec_e = e
+        if ret_e == -1:
+            return -1
+        if sec_e != -1 and self.superior(se, ret_e, sec_e) != 1:
+            return -2
+        return ret_e
+
+    def join_small_jungle(self, set_e, set_leg, uni_cov: float) -> int:
+        """Pair legs across a small jungle by barcode support and join
+        each pair over a 50-N gap (reference join_n_m_small_jungle,
+        src/barcode_resolve2.c:1058-1118)."""
+        g = self.g
+        uni = self._calibrate(list(set_leg), uni_cov)
+        ret = 0
+        while True:
+            resolve = 0
+            for e1 in list(set_leg):
+                if e1 not in set_leg:
+                    continue
+                f1 = g.edge_cov(e1) / uni
+                r1 = _convert_cov_range(f1)
+                e2 = self._find_pair_check_path(set_e, e1, set_leg)
+                if e2 < 0:
+                    continue
+                f2 = g.edge_cov(e2) / uni
+                r2 = _convert_cov_range(f2)
+                if not _check_coverage(f1, f2, r1, r2):
+                    continue
+                et1 = self._find_pair_check_path(set_e, e2, set_leg)
+                if et1 != -1 and et1 != e1:
+                    continue
+                g.join_edge_with_gap(g.edges[e1].rc_id, e2, 50)
+                set_leg.discard(e1)
+                set_leg.discard(e2)
+                resolve += 1
+            ret += resolve
+            if not resolve:
+                break
+        return ret
+
+
 def _mean_cov(g: MutableGraph) -> float:
     num = den = 0.0
     for e in range(g.n_e):
@@ -339,4 +477,28 @@ def resolve_n_m_bridges(g: AsmGraph) -> AsmGraph:
         if mg.edges[e].source == -1:
             continue
         res.check_n_m_bridge(e, uni)
+    return asm_condense(mg.to_asm())
+
+
+def resolve_complex(g: AsmGraph) -> AsmGraph:
+    """Jungle pass: bounded BFS regions around long seed contigs, leg
+    detection, barcode-paired joins over 50-N gaps, condense (reference
+    resolve_complex, src/barcode_resolve2.c:1419-1456 — the build_4_5
+    stage, process.c:238-246)."""
+    mg = MutableGraph.from_asm(g)
+    res = BarcodeResolver(mg)
+    uni = _mean_cov(mg)
+    visited = set()
+    for e in range(mg.n_e):
+        if mg.edges[e].source == -1 or e in visited:
+            continue
+        if mg.edges[e].seq_len < MIN_CONTIG_BARCODE:
+            continue
+        set_v, set_e = res.find_region(e, MIN_CONTIG_BARCODE,
+                                       MAX_EDGE_COUNT, uni)
+        if len(set_e) < MAX_EDGE_COUNT:
+            visited |= set_e
+            set_leg, set_self = res.detect_leg(set_e)
+            if len(set_self) == 0 and len(set_leg) >= 2:
+                res.join_small_jungle(set_e, set_leg, uni)
     return asm_condense(mg.to_asm())
