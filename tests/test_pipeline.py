@@ -128,3 +128,25 @@ def test_cli_stage_subcommands(tmp_path):
         rc = cli_main([cmd, "-i", lvl2, "-k0", "31", "-o", d])
         assert rc == 0, cmd
         assert os.path.exists(os.path.join(d, f"graph_k_31_{suffix}.bin")), cmd
+
+
+def test_cli_minimizers_hit(tmp_path):
+    """minimizers_hit writes the all-barcode hit table csv."""
+    genome = tt.random_genome(9000, seed=29)
+    f1, f2, fI, _ = write_synthetic_library(tmp_path, genome, n_molecules=60)
+    out = str(tmp_path / "out")
+    assert cli_main(["basic", "-1", f1, "-2", f2, "-I", fI,
+                     "-l", "ust", "-k0", "31", "-o", out]) == 0
+    assert cli_main(["sort_read", "-1", f1, "-2", f2, "-I", fI,
+                     "-l", "ust", "-o", out]) == 0
+    lvl2 = os.path.join(out, "graph_k_31_level_2.bin")
+    rc = cli_main(["minimizers_hit", "-i", lvl2, "-l", "sorted",
+                   "-1", os.path.join(out, "R1.sorted.fq"),
+                   "-2", os.path.join(out, "R2.sorted.fq"),
+                   "-I", os.path.join(out, "barcode.idx"),
+                   "-o", out])
+    assert rc == 0
+    csv = os.path.join(out, "barcode_hits.csv")
+    assert os.path.exists(csv)
+    rows = open(csv).read().splitlines()
+    assert rows and all(len(r.split(",")) == 3 for r in rows)

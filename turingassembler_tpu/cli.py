@@ -247,6 +247,26 @@ def cmd_count_bx(cfg: Config):
     print(count_bx_freq(cfg))
 
 
+@command("minimizers_hit")
+def cmd_minimizers_hit(cfg: Config):
+    """All-barcode minimizer sweep -> barcode_hits.csv (reference
+    minimizers_hit -> mm_hit_all_barcodes, src/main.c:492-493)."""
+    import os
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .scaffold.molecules import hit_all_barcodes
+    set_log_stage("minimizers_hit")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    bx_table, rp_table = hit_all_barcodes(cfg, g, rpath)
+    out = os.path.join(cfg.out_dir, "barcode_hits.csv")
+    with open(out, "w") as fp:
+        for bc in sorted(bx_table):
+            for e, c in sorted(bx_table[bc].items()):
+                fp.write(f"{bc},{e},{c}\n")
+    print(out)
+
+
 @command("reduce_reads")
 def cmd_reduce_reads(cfg: Config):
     from .barcode.frequency import reduce_reads
