@@ -150,3 +150,30 @@ def test_cli_minimizers_hit(tmp_path):
     assert os.path.exists(csv)
     rows = open(csv).read().splitlines()
     assert rows and all(len(r.split(",")) == 3 for r in rows)
+
+
+def test_cli_assembly3_10x(tmp_path):
+    """Full assembly3 with a 10X-style library: 16bp barcode + 7bp UMI
+    prefixed to R1 (reference get_barcode_10x, src/sort_read.c:62-79)."""
+    from turingassembler_tpu.io.fastq import encode_barcode
+    genome = tt.random_genome(15000, seed=37)
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=4000, n_molecules=80,
+        reads_per_molecule=40, read_len=100, insert=250, seed=8)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2 = str(tmp_path / "R1.fq"), str(tmp_path / "R2.fq")
+    with open(f1, "w") as o1, open(f2, "w") as o2:
+        for i in range(len(r1)):
+            s1 = ACGT[r1[i]].tobytes().decode()
+            s2 = ACGT[r2[i]].tobytes().decode()
+            bseq = encode_barcode(int(bcs[i]) + 1, 16).decode()
+            o1.write(f"@read{i}\n{bseq}AAAAAAA{s1}\n+\n{'I'*(23+len(s1))}\n")
+            o2.write(f"@read{i}\n{s2}\n+\n{'I'*len(s2)}\n")
+    out = str(tmp_path / "out")
+    rc = cli_main(["assembly3", "-1", f1, "-2", f2, "-l", "10x",
+                   "-k0", "31", "-lk", "21", "-o", out])
+    assert rc == 0
+    final = os.path.join(out, "scaffold.full.fasta")
+    assert os.path.exists(final)
+    recs = list(read_fasta(final))
+    assert recs and max(len(s) for _, s in recs) >= 12000
