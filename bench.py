@@ -57,7 +57,23 @@ def main():
     n_batches = int(os.environ.get("TA_BENCH_NBATCHES", 64))
     genome_size = int(os.environ.get("TA_BENCH_GENOME", 2_000_000))
 
-    log(f"devices: {jax.devices()}")
+    # the axon backend goes UNAVAILABLE for long stretches on this rig;
+    # a crash records nothing, so fall back to an honestly-labeled CPU
+    # measurement on a reduced workload
+    cpu_fallback = False
+    try:
+        devs = jax.devices()
+        log(f"devices: {devs}")
+        if not any("tpu" in str(d).lower() for d in devs):
+            cpu_fallback = True
+    except RuntimeError as e:
+        log(f"TPU backend unavailable ({e}); falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
+        log(f"devices: {jax.devices()}")
+    if cpu_fallback:
+        n_batches = min(n_batches, 16)
+        genome_size = min(genome_size, 500_000)
     genome = tt.random_genome(genome_size, seed=0)
     n_reads = batch * n_batches
     # pad length +2 so shapes differ from test shapes (cache separation)
@@ -90,8 +106,12 @@ def main():
     total = t_count + t_build
     value = n_reads / total
     baseline = 250_000.0
+    metric = "reads/s (k45 count + level-0 DBG build, 150bp reads, 1 chip)"
+    if cpu_fallback:
+        metric = ("reads/s (k45 count + level-0 DBG build, 150bp reads, "
+                  "CPU FALLBACK - TPU backend unavailable)")
     print(json.dumps({
-        "metric": "reads/s (k45 count + level-0 DBG build, 150bp reads, 1 chip)",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(value / baseline, 3),

@@ -24,6 +24,7 @@
 #include <cstring>
 #include <numeric>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -124,6 +125,50 @@ struct LineReader {
     }
 };
 
+// One fully parsed FASTQ file: raw fields concatenated in `blob`,
+// 3 offsets per record (hdr, seq, qual starts) + final terminator.
+// Parsing (gzip inflate + record chunking) is the dominant cost, so
+// the R1/R2/I files parse on their own threads — the same producer-
+// per-file layout as the reference (init_fastq_triple,
+// src/fastq_producer.c:125+).
+struct ParsedFile {
+    std::vector<char> blob;
+    std::vector<size_t> offs;
+    bool err = false;
+    bool open_fail = false;
+
+    int64_t n_records() const {
+        return offs.empty() ? 0 : (int64_t)((offs.size() - 1) / 3);
+    }
+    void field(int64_t i, int f, const char *&p, size_t &len) const {
+        size_t a = offs[(size_t)(3 * i + f)];
+        size_t b = offs[(size_t)(3 * i + f + 1)];
+        p = blob.data() + a;
+        len = b - a;
+    }
+};
+
+void parse_file(const char *path, ParsedFile *out) {
+    LineReader r;
+    if (!r.open(path)) {
+        out->open_fail = true;
+        return;
+    }
+    std::string h, s, q;
+    bool err = false;
+    while (r.next_record(h, s, q, &err)) {
+        out->offs.push_back(out->blob.size());
+        out->blob.insert(out->blob.end(), h.begin(), h.end());
+        out->offs.push_back(out->blob.size());
+        out->blob.insert(out->blob.end(), s.begin(), s.end());
+        out->offs.push_back(out->blob.size());
+        out->blob.insert(out->blob.end(), q.begin(), q.end());
+    }
+    out->offs.push_back(out->blob.size());
+    out->err = err;
+    r.close();
+}
+
 uint64_t decode_bc(const char *s, size_t n) {
     uint64_t ret = 0;
     for (size_t i = 0; i < n; i++)
@@ -194,28 +239,42 @@ int64_t ta_sort_reads(const char **files1, const char **files2,
                       const char *out_r2, const char *out_idx) {
     Arena a1, a2;
     std::vector<RecMeta> metas;
-    std::string h1, s1, q1, h2, s2, q2, hI, sI, qI, tag;
+    std::string h1, s1, q1, h2, s2, q2, tag;
 
     for (int64_t fi = 0; fi < n_files; fi++) {
-        LineReader r1, r2, rI;
         bool have_I = lib_type == 2 && filesI && fi < n_filesI;
-        if (!r1.open(files1[fi])) return -1;
-        if (!r2.open(files2[fi])) {
-            r1.close();
-            return -1;
+        ParsedFile p1, p2, pI;
+        {
+            std::thread t1(parse_file, files1[fi], &p1);
+            std::thread t2(parse_file, files2[fi], &p2);
+            std::thread tI;
+            if (have_I) tI = std::thread(parse_file, filesI[fi], &pI);
+            t1.join();
+            t2.join();
+            if (tI.joinable()) tI.join();
         }
-        if (have_I && !rI.open(filesI[fi])) {
-            r1.close();
-            r2.close();
+        if (p1.open_fail || p2.open_fail || (have_I && pI.open_fail))
             return -1;
-        }
-        bool err = false;
-        while (true) {
-            if (!r1.next_record(h1, s1, q1, &err)) break;
-            if (!r2.next_record(h2, s2, q2, &err)) {
-                err = true;
-                break;
-            }
+        if (p1.err || p2.err || (have_I && pI.err)) return -1;
+        int64_t n = p1.n_records();
+        if (p2.n_records() != n || (have_I && pI.n_records() != n))
+            return -1;
+        if (lib_type != 1 && lib_type != 2 && lib_type != 3) return -1;
+        for (int64_t i = 0; i < n; i++) {
+            const char *ph;
+            size_t lh;
+            p1.field(i, 0, ph, lh);
+            h1.assign(ph, lh);
+            p1.field(i, 1, ph, lh);
+            s1.assign(ph, lh);
+            p1.field(i, 2, ph, lh);
+            q1.assign(ph, lh);
+            p2.field(i, 0, ph, lh);
+            h2.assign(ph, lh);
+            p2.field(i, 1, ph, lh);
+            s2.assign(ph, lh);
+            p2.field(i, 2, ph, lh);
+            q2.assign(ph, lh);
             const char *bseq = nullptr, *bqual = nullptr;
             size_t blen = 0, bqlen = 0;
             const char *o_seq1 = s1.data(), *o_qual1 = q1.data();
@@ -223,15 +282,15 @@ int64_t ta_sort_reads(const char **files1, const char **files2,
             uint64_t bc = BX_NONE;
             if (lib_type == 2) {  // UST: separate index read
                 if (have_I) {
-                    if (!rI.next_record(hI, sI, qI, &err)) {
-                        err = true;
-                        break;
-                    }
-                    if (!sI.empty()) {
-                        bseq = sI.data();
-                        blen = sI.size();
-                        bqual = qI.data();
-                        bqlen = qI.size();
+                    const char *pi_s, *pi_q;
+                    size_t li_s, li_q;
+                    pI.field(i, 1, pi_s, li_s);
+                    pI.field(i, 2, pi_q, li_q);
+                    if (li_s) {
+                        bseq = pi_s;
+                        blen = li_s;
+                        bqual = pi_q;
+                        bqlen = li_q;
                         bc = decode_bc(bseq, blen);
                     }
                 }
@@ -249,7 +308,7 @@ int64_t ta_sort_reads(const char **files1, const char **files2,
                         bqlen = ql;
                     }
                 }
-            } else if (lib_type == 3) {  // 10X: 16bp barcode + 7bp UMI
+            } else {  // 10X: 16bp barcode + 7bp UMI
                 if (s1.size() >= 23) {
                     bseq = s1.data();
                     blen = 16;
@@ -261,9 +320,6 @@ int64_t ta_sort_reads(const char **files1, const char **files2,
                     o_qual1 = q1.data() + 23;
                     o_qlen1 = q1.size() >= 23 ? q1.size() - 23 : 0;
                 }
-            } else {
-                err = true;
-                break;
             }
             tag.clear();
             if (blen) {
@@ -287,10 +343,6 @@ int64_t ta_sort_reads(const char **files1, const char **files2,
             m.len2 = (uint32_t)(a2.data.size() - m.off2);
             metas.push_back(m);
         }
-        r1.close();
-        r2.close();
-        if (have_I) rI.close();
-        if (err) return -1;
     }
 
     // stable sort by barcode preserves input order within a barcode,
