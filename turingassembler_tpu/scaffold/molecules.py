@@ -55,18 +55,33 @@ def hit_all_barcodes(cfg: Config, g: AsmGraph, rpath,
         index = EdgeMinimizerIndex.build(g)
     bx_table: Dict[int, Dict[int, int]] = defaultdict(lambda: defaultdict(int))
     rp_table: Dict[Tuple[int, int], int] = defaultdict(int)
-    BX_NONE = 0xFFFFFFFFFFFFFFFF
+    BX_NONE = np.uint64(0xFFFFFFFFFFFFFFFF)
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
         e1, _, _ = map_reads(index, b1, l1)
         e2, _, _ = map_reads(index, b2, l2)
-        for i in range(len(b1)):
-            bc = int(bcs[i])
-            for e in (int(e1[i]), int(e2[i])):
-                if e >= 0 and bc != BX_NONE:
-                    bx_table[bc][e] += 1
-            if (e1[i] >= 0 and e2[i] >= 0 and e1[i] != e2[i]
-                    and g.edge_rc[e1[i]] != e2[i]):
-                rp_table[(int(e1[i]), int(e2[i]))] += 1
+        # (barcode, edge) hit counts via numpy group-by
+        both_bc = np.concatenate([bcs, bcs])
+        both_e = np.concatenate([e1, e2]).astype(np.int64)
+        ok = (both_e >= 0) & (both_bc != BX_NONE)
+        bb, ee = both_bc[ok], both_e[ok]
+        if len(bb):
+            order = np.lexsort((ee, bb))
+            bb, ee = bb[order], ee[order]
+            starts = np.ones(len(bb), bool)
+            starts[1:] = (bb[1:] != bb[:-1]) | (ee[1:] != ee[:-1])
+            idx = np.flatnonzero(starts)
+            cnt = np.diff(np.append(idx, len(bb)))
+            for bc_, e_, c_ in zip(bb[idx].tolist(), ee[idx].tolist(),
+                                   cnt.tolist()):
+                bx_table[bc_][e_] += c_
+        # (edge1, edge2) read-pair counts
+        pr = (e1 >= 0) & (e2 >= 0) & (e1 != e2) & \
+            (g.edge_rc[np.clip(e1, 0, g.n_e - 1)] != e2)
+        if pr.any():
+            keys = e1[pr].astype(np.int64) * np.int64(1 << 32) + e2[pr]
+            uk, uc = np.unique(keys, return_counts=True)
+            for k_, c_ in zip(uk.tolist(), uc.tolist()):
+                rp_table[(k_ >> 32, k_ & 0xFFFFFFFF)] += int(c_)
     return bx_table, rp_table
 
 
