@@ -86,12 +86,34 @@ def hit_all_barcodes(cfg: Config, g: AsmGraph, rpath,
 
 
 def count_edge_link_shared_bc(bx_table) -> Dict[Tuple[int, int], int]:
-    out: Dict[Tuple[int, int], int] = defaultdict(int)
+    """Shared-barcode counts per edge pair (reference
+    count_edge_link_shared_bc, src/minimizers/count_barcodes.c:478-520).
+    All pairs within each barcode's edge set, enumerated in numpy."""
+    rows_bc, rows_e = [], []
     for bc, hits in bx_table.items():
         es = sorted(hits)
-        for j in range(len(es)):
-            for k in range(j + 1, len(es)):
-                out[(es[j], es[k])] += 1
+        rows_bc.append(np.full(len(es), len(rows_bc), np.int64))
+        rows_e.append(np.asarray(es, np.int64))
+    out: Dict[Tuple[int, int], int] = defaultdict(int)
+    if not rows_bc:
+        return out
+    grp = np.concatenate(rows_bc)
+    edge = np.concatenate(rows_e)
+    sizes = np.bincount(grp)
+    # within-group all-pairs (j < k): left index repeats each element
+    # (size - 1 - position) times; right runs over the remainder
+    starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    pos = np.arange(len(edge)) - starts[grp]
+    rep = (sizes[grp] - 1 - pos).astype(np.int64)
+    left = np.repeat(np.arange(len(edge)), rep)
+    # right offsets: 1..rep within each left element
+    roff = np.arange(len(left)) - np.repeat(
+        np.concatenate([[0], np.cumsum(rep)[:-1]]).astype(np.int64), rep)
+    right = left + 1 + roff
+    keys = edge[left] * np.int64(1 << 32) + edge[right]
+    uk, uc = np.unique(keys, return_counts=True)
+    for k_, c_ in zip(uk.tolist(), uc.tolist()):
+        out[(k_ >> 32, k_ & 0xFFFFFFFF)] = int(c_)
     return out
 
 
