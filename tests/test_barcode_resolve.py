@@ -155,3 +155,181 @@ def test_complex_jungle_resolution():
     assert ca & cb, "A and B should be joined"
     assert cc & cd, "C and D should be joined"
     assert not (ca & cd) and not (cc & cb), "no cross-haplotype joins"
+
+
+def _bridge_2_2_graph(rng, k=21):
+    """Two haplotypes sharing one 300 bp repeat -> 2-2 bridge."""
+    A0 = rng.integers(0, 4, 3500).astype(np.uint8)
+    A1 = rng.integers(0, 4, 3500).astype(np.uint8)
+    B0 = rng.integers(0, 4, 3500).astype(np.uint8)
+    B1 = rng.integers(0, 4, 3500).astype(np.uint8)
+    R = rng.integers(0, 4, 300).astype(np.uint8)
+    h0 = np.concatenate([A0, R, B0])
+    h1 = np.concatenate([A1, R, B1])
+    r0, l0 = tt.sim_reads(h0, coverage=30, read_len=100, seed=1)
+    r1, l1 = tt.sim_reads(h1, coverage=30, read_len=100, seed=2)
+    ke, c = count_kedges_from_reads(np.concatenate([r0, r1]),
+                                    np.concatenate([l0, l1]), k)
+    g = build_graph_from_kedges(ke, c, k)
+    check_graph(g)
+    assert g.n_e == 10
+
+    def which(e):
+        s = tt.codes_to_str(g.get_seq(e))
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rc = "".join(comp[ch] for ch in reversed(s))
+        for name, hap in (("A0", A0), ("A1", A1), ("B0", B0), ("B1", B1)):
+            hs = tt.codes_to_str(hap)
+            if s[50:-50] and (s[50:-50] in hs or rc[50:-50] in hs):
+                return name
+        return "R"
+
+    g.barcodes = [[{}, {}, {}] for _ in range(g.n_e)]
+    g.barcodes_scaf = [{} for _ in range(g.n_e)]
+    g.barcodes_cov = [{} for _ in range(g.n_e)]
+    g.aux_flag |= 1
+    return g, which, (h0, h1)
+
+
+def _attach_sets(g, which, bsets):
+    labels = {}
+    for e in range(g.n_e):
+        w = which(e)
+        labels[e] = w
+        for lvl in range(3):
+            g.barcodes[e][lvl] = {i: 1 for i in bsets[w]}
+    return labels
+
+
+def _haps_reconstructed(g2, h0, h1):
+    seqs = [tt.codes_to_str(g2.get_seq(e))
+            for e in range(g2.n_e) if g2.edge_source[e] >= 0]
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def found(hap):
+        h = tt.codes_to_str(hap)
+        for s in seqs:
+            rc = "".join(comp[c] for c in reversed(s))
+            if s[50:-50] and (s[50:-50] in h or rc[50:-50] in h):
+                if len(s) >= len(h) - 200:
+                    return True
+        return False
+
+    return found(h0) and found(h1)
+
+
+def test_2_2_med_strict_resolution():
+    """Evidence where only ONE superiority condition holds (high-strict
+    rejects) but no contradicting cross `greater` (med-strict joins) —
+    reference check_2_2_med_strict_bridge, barcode_resolve2.c:627-725."""
+    from turingassembler_tpu.graph.mutable import MutableGraph
+    from turingassembler_tpu.resolve.barcodes import BarcodeResolver
+
+    rng = np.random.default_rng(17)
+    g, which, (h0, h1) = _bridge_2_2_graph(rng)
+    bsets = {
+        "A0": range(0, 150),
+        "B0": list(range(0, 150)) + list(range(940, 1000)),   # 60 with A1
+        "A1": range(900, 1050),
+        "B1": list(range(950, 1050)) + list(range(2000, 2050)),  # 100 w A1
+        "R": range(3000, 3030),
+    }
+    _attach_sets(g, which, bsets)
+
+    # high strict must NOT fire: share(A1,B1)=100 <= 2*share(A1,B0)=120
+    mg = MutableGraph.from_asm(g.clone())
+    res = BarcodeResolver(mg)
+    from turingassembler_tpu.resolve.barcodes import _mean_cov
+    uni = _mean_cov(mg)
+    fired_high = sum(res.check_2_2_high_strict(e, uni)
+                     for e in range(mg.n_e) if mg.edges[e].source != -1)
+    assert fired_high == 0
+
+    g2 = resolve_n_m_simple(g)
+    check_graph(g2, check_seq=True)
+    assert _haps_reconstructed(g2, h0, h1)
+
+
+def test_2_2_low_strict_resolution():
+    """Evidence where no superiority holds at all (med rejects) but the
+    true pairings are the only positive ones (low-strict joins) —
+    reference check_2_2_low_strict_bridge, barcode_resolve2.c:727-818."""
+    from turingassembler_tpu.graph.mutable import MutableGraph
+    from turingassembler_tpu.resolve.barcodes import BarcodeResolver, _mean_cov
+
+    rng = np.random.default_rng(19)
+    g, which, (h0, h1) = _bridge_2_2_graph(rng)
+    # 1000-barcode legs: true pairs share 50 (ratio 0.05 > 0.044),
+    # cross pairs share 30 (0.03 < 0.044, and 50 <= 2*30 kills
+    # superiority everywhere)
+    A0 = list(range(0, 1000))
+    A1 = list(range(2000, 3000))
+    B0 = (list(range(0, 50)) + list(range(2950, 2980))
+          + list(range(20000, 20920)))
+    B1 = (list(range(2000, 2050)) + list(range(950, 980))
+          + list(range(30000, 30920)))
+    bsets = {"A0": A0, "A1": A1, "B0": B0, "B1": B1, "R": range(40000, 40030)}
+    _attach_sets(g, which, bsets)
+
+    mg = MutableGraph.from_asm(g.clone())
+    res = BarcodeResolver(mg)
+    uni = _mean_cov(mg)
+    fired = 0
+    for e in range(mg.n_e):
+        if mg.edges[e].source != -1:
+            fired += res.check_2_2_high_strict(e, uni)
+            fired += res.check_2_2_med_strict(e, uni)
+    assert fired == 0
+
+    g2 = resolve_n_m_simple(g)
+    check_graph(g2, check_seq=True)
+    assert _haps_reconstructed(g2, h0, h1)
+
+
+def test_n_m_node_resolution():
+    """2-in/2-out NODE (k-1 shared junction, no middle edge) resolved by
+    barcode pairing — reference check_n_m_node,
+    barcode_resolve2.c:943-1056."""
+    from turingassembler_tpu.resolve.barcodes import resolve_n_m_bridges
+
+    rng = np.random.default_rng(23)
+    k = 21
+    A0 = rng.integers(0, 4, 3500).astype(np.uint8)
+    A1 = rng.integers(0, 4, 3500).astype(np.uint8)
+    B0 = rng.integers(0, 4, 3500).astype(np.uint8)
+    B1 = rng.integers(0, 4, 3500).astype(np.uint8)
+    S = rng.integers(0, 4, k).astype(np.uint8)   # one shared k-mer = node
+    h0 = np.concatenate([A0, S, B0])
+    h1 = np.concatenate([A1, S, B1])
+    r0, l0 = tt.sim_reads(h0, coverage=30, read_len=100, seed=3)
+    r1, l1 = tt.sim_reads(h1, coverage=30, read_len=100, seed=4)
+    ke, c = count_kedges_from_reads(np.concatenate([r0, r1]),
+                                    np.concatenate([l0, l1]), k)
+    g = build_graph_from_kedges(ke, c, k)
+    check_graph(g)
+    assert g.n_e == 8  # 4 contigs x rc, no middle edge
+
+    def which(e):
+        s = tt.codes_to_str(g.get_seq(e))
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rc = "".join(comp[ch] for ch in reversed(s))
+        for name, hap in (("A0", A0), ("A1", A1), ("B0", B0), ("B1", B1)):
+            hs = tt.codes_to_str(hap)
+            if s[50:-50] and (s[50:-50] in hs or rc[50:-50] in hs):
+                return name
+        return "R"
+
+    g.barcodes = [[{}, {}, {}] for _ in range(g.n_e)]
+    g.barcodes_scaf = [{} for _ in range(g.n_e)]
+    g.barcodes_cov = [{} for _ in range(g.n_e)]
+    g.aux_flag |= 1
+    bsets = {
+        "A0": range(0, 150), "B0": range(0, 150),
+        "A1": range(150, 300), "B1": range(150, 300),
+        "R": range(0, 300, 10),
+    }
+    _attach_sets(g, which, bsets)
+
+    g2 = resolve_n_m_bridges(g)
+    check_graph(g2, check_seq=True)
+    assert _haps_reconstructed(g2, h0, h1)

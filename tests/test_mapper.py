@@ -135,3 +135,62 @@ def test_sortless_tally_matches_sort_oracle():
         reads, lengths, keys, edge, pos, count, idx.k, idx.w)]
     for a, b in zip(old, new):
         assert np.array_equal(a, b)
+
+
+def test_rescore_rejects_chimeric_reads():
+    """DP verification (reference asm_reg2aln rescore,
+    src/barcode_builder.c:448-563) must kill chimeric/junk votes that
+    the minimizer tally alone accepts, without hurting clean reads."""
+    from turingassembler_tpu.mapper.minimizers import rescore_hits
+
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    B, L = 64, 120
+    lens = g.edge_len()
+    eid = int(np.argmax(lens * g.alive_mask()))
+    eseq = g.get_seq(eid)
+    r = np.random.default_rng(5)
+    sts = r.integers(0, len(eseq) - L, B)
+    reads = np.stack([eseq[s : s + L] for s in sts]).astype(np.uint8)
+    # second half: chimeras (genome head + random tail)
+    reads[B // 2 :, L // 2 :] = r.integers(0, 4, (B - B // 2, L - L // 2))
+    lengths = np.full(B, L, np.int32)
+
+    edges, hits, starts = map_reads(idx, reads, lengths, batch_size=64)
+    vote_chimera_mapped = (edges[B // 2 :] >= 0).sum()
+
+    accept, scores = rescore_hits(g.seq_data, g.seq_off, edges, starts,
+                                  reads, lengths)
+    # clean reads keep their (high) scores
+    clean = accept[: B // 2]
+    assert clean.sum() >= (edges[: B // 2] >= 0).sum() * 0.9
+    assert (scores[: B // 2][clean] > 100).all()
+    # chimeras that got votes must be rejected by the global DP
+    chim_accept = accept[B // 2 :].sum()
+    assert chim_accept < max(1, vote_chimera_mapped // 4)
+
+    # the map_reads(graph=...) path applies the same gate
+    e2, _, _ = map_reads(idx, reads, lengths, batch_size=64, graph=g)
+    assert (e2[B // 2 :] >= 0).sum() == chim_accept
+
+
+def test_confidence_ratio_gate():
+    """A read whose singleton hits split across two edges (e.g. straddling
+    a junction artifact) is rejected: best < 0.85 * total with > 2 hits
+    (reference RATIO_OF_CONFIDENT, src/minimizers/smart_load.c:193)."""
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    lens = g.edge_len()
+    alive = np.flatnonzero(g.alive_mask())
+    e_long = int(alive[np.argmax(lens[alive])])
+    others = [e for e in alive if e != e_long and lens[e] > 400
+              and e != int(g.edge_rc[e_long])]
+    e_short = int(others[0])
+    sa, sb = g.get_seq(e_long), g.get_seq(e_short)
+    # hybrid read: ~55% from one edge, 45% from another — votes split
+    L1, L2 = 70, 60
+    hyb = np.concatenate([sa[100 : 100 + L1], sb[50 : 50 + L2]])
+    reads = hyb[None, :].astype(np.uint8)
+    lengths = np.array([L1 + L2], np.int32)
+    edges, hits, starts = map_reads(idx, reads, lengths, batch_size=1)
+    assert edges[0] == -1

@@ -47,3 +47,31 @@ def test_banded_identical():
     ql = np.full(B, L, np.int32)
     out = np.asarray(banded_affine_score(q, ql, q, ql, W=32, interpret=True))
     np.testing.assert_array_equal(out, np.full(B, L))
+
+
+@pytest.mark.parametrize("W", [64])
+def test_banded_fit_matches_dense_fit(W):
+    from turingassembler_tpu.ops.align import affine_global_score_batch
+    B, Lq, Lt = 8, 40, 80
+    r = np.random.default_rng(3)
+    q = np.full((B, Lq), 255, np.uint8)
+    t = np.full((B, Lt), 255, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i in range(B):
+        ql = int(r.integers(15, Lq + 1))
+        tl = int(r.integers(ql, Lt + 1))
+        off = int(r.integers(0, min(tl - ql + 1, W // 2 - 2)))
+        qlen[i], tlen[i] = ql, tl
+        tt = r.integers(0, 4, tl).astype(np.uint8)
+        qq = tt[off : off + ql].copy()
+        for _ in range(int(r.integers(0, 3))):
+            p = r.integers(0, ql)
+            qq[p] = (qq[p] + r.integers(1, 4)) % 4
+        q[i, :ql] = qq
+        t[i, :tl] = tt
+    dense = np.asarray(affine_global_score_batch(q, qlen, t, tlen,
+                                                 mode="fit"))
+    band = np.asarray(banded_affine_score(q, qlen, t, tlen, W=W,
+                                          interpret=True, mode="fit"))
+    np.testing.assert_array_equal(band, dense)

@@ -84,3 +84,76 @@ def test_bubble_from_heterozygous_site():
     assert len(seqs) == 1  # bubble popped into one contig
     s = next(iter(seqs))
     assert len(s) >= 2900
+
+
+def test_dump_loop_duplication():
+    """A loop-through repeat (e1 -> e <=loop= e -> e2) is unrolled into
+    e-loop-e and the loop edge removed (reference asm_resolve_dump_loop,
+    src/basic_resolve.c:1221-1276)."""
+    from turingassembler_tpu.graph.mutable import MutableGraph
+    from turingassembler_tpu.resolve.basic import resolve_dump_loop
+
+    rng = np.random.default_rng(31)
+    k = 21
+    A = rng.integers(0, 4, 1500).astype(np.uint8)
+    R = rng.integers(0, 4, 300).astype(np.uint8)
+    L = rng.integers(0, 4, 200).astype(np.uint8)
+    B = rng.integers(0, 4, 1500).astype(np.uint8)
+    h = np.concatenate([A, R, L, R, B])
+    g = assemble(h, k, coverage=40)
+    check_graph(g)
+    assert g.n_e == 8  # A, R, loop, B x rc
+
+    mg = MutableGraph.from_asm(g)
+    n = resolve_dump_loop(mg)
+    assert n == 1
+    g2 = asm_condense(mg.to_asm())
+    check_graph(g2, check_seq=True)
+    assert int(g2.alive_mask().sum()) == 2  # single contig + rc
+    # the duplicated traversal A.R.L.R.B is reconstructed (genome ends
+    # may lose a couple of bases to read-start sampling)
+    hs = tt.codes_to_str(h)
+    (s,) = {tt.codes_to_str(g2.get_seq(e))
+            for e in range(g2.n_e) if g2.edge_source[e] >= 0
+            and e <= g2.edge_rc[e]}
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[ch] for ch in reversed(s))
+    assert hs[20:-20] in s or hs[20:-20] in rc
+
+
+def test_dump_branch_collapse():
+    """Two parallel branches between the same flanks collapse to the
+    higher-coverage one (reference asm_resolve_dump_branch,
+    src/basic_resolve.c:1278-1317)."""
+    from turingassembler_tpu.graph.mutable import MutableGraph
+    from turingassembler_tpu.resolve.basic import resolve_dump_branch
+
+    rng = np.random.default_rng(33)
+    k = 21
+    A = rng.integers(0, 4, 1500).astype(np.uint8)
+    M0 = rng.integers(0, 4, 400).astype(np.uint8)
+    M1 = rng.integers(0, 4, 400).astype(np.uint8)
+    B = rng.integers(0, 4, 1500).astype(np.uint8)
+    h0 = np.concatenate([A, M0, B])
+    h1 = np.concatenate([A, M1, B])
+    r0, l0 = tt.sim_reads(h0, coverage=40, read_len=100, seed=7)
+    r1, l1 = tt.sim_reads(h1, coverage=12, read_len=100, seed=8)
+    ke, c = count_kedges_from_reads(np.concatenate([r0, r1]),
+                                    np.concatenate([l0, l1]), k)
+    g = build_graph_from_kedges(ke, c, k)
+    check_graph(g)
+    assert g.n_e == 8  # A, M0, M1, B x rc
+
+    mg = MutableGraph.from_asm(g)
+    n = resolve_dump_branch(mg)
+    assert n == 1
+    g2 = asm_condense(mg.to_asm())
+    check_graph(g2, check_seq=True)
+    assert int(g2.alive_mask().sum()) == 2
+    hs = tt.codes_to_str(h0)  # high-cov branch kept
+    (s,) = {tt.codes_to_str(g2.get_seq(e))
+            for e in range(g2.n_e) if g2.edge_source[e] >= 0
+            and e <= g2.edge_rc[e]}
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[ch] for ch in reversed(s))
+    assert hs[20:-20] in s or hs[20:-20] in rc

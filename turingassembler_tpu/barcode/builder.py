@@ -35,6 +35,7 @@ CONTIG_LEVEL_0 = 500      # reference assembly_graph.h:112
 CONTIG_LEVEL_1 = 3000     # :113
 CONTIG_LEVEL_2 = 10000    # :114
 MIN_CONTIG_BARCODE = 5000  # :121
+MAX_READ_FRAG_LEN = 350   # :117
 
 
 def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 8192, pad_to: int = 256):
@@ -159,18 +160,26 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
     lens = g.edge_len()
     n_pairs = n_mapped = 0
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
-        e1, h1, p1 = map_reads(index, b1, l1)
-        e2, h2, p2 = map_reads(index, b2, l2)
+        # graph=g turns on DP verification of every voted hit
+        # (reference asm_reg2aln rescore, barcode_builder.c:448-563)
+        e1, h1, p1 = map_reads(index, b1, l1, graph=g)
+        e2, h2, p2 = map_reads(index, b2, l2, graph=g)
         n_pairs += len(b1)
         n_mapped += int((e1 >= 0).sum() + (e2 >= 0).sum())
         _bulk_attach(g, lens, e1, p1, bcs)
         _bulk_attach(g, lens, e2, p2, bcs)
         if build_readpairs:
+            # candidate read-pair tallies (reference read_mapper stage 3,
+            # barcode_builder.c:818-835): both heads within the fragment
+            # length of their records, distinct non-rc edges, counted in
+            # both directions
             ok = (e1 >= 0) & (e2 >= 0) & (e1 != e2) & \
-                 (g.edge_rc[np.clip(e1, 0, g.n_e - 1)] != e2)
+                 (g.edge_rc[np.clip(e1, 0, g.n_e - 1)] != e2) & \
+                 (p1 + p2 < MAX_READ_FRAG_LEN)
             pe1, pe2 = e1[ok].astype(np.int64), e2[ok].astype(np.int64)
             if len(pe1):
-                keys = pe1 * (1 << 32) + pe2
+                keys = np.concatenate([pe1 * (1 << 32) + pe2,
+                                       pe2 * (1 << 32) + pe1])
                 uk, uc = np.unique(keys, return_counts=True)
                 for k_, c_ in zip(uk.tolist(), uc.tolist()):
                     key = (k_ >> 32, k_ & 0xFFFFFFFF)
@@ -190,8 +199,10 @@ def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
         index = EdgeMinimizerIndex.build(g)
     counts: Dict[Tuple[int, int], int] = {}
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
-        e1, _, _ = map_reads(index, b1, l1)
-        e2, _, _ = map_reads(index, b2, l2)
+        # rp_count_mapper keeps only full-length, >=50-score alignments
+        # (barcode_builder.c:676-705); the DP gate enforces that here
+        e1, _, _ = map_reads(index, b1, l1, graph=g)
+        e2, _, _ = map_reads(index, b2, l2, graph=g)
         ok = (e1 >= 0) & (e2 >= 0)
         keys = e1[ok].astype(np.int64) * (1 << 32) + e2[ok].astype(np.int64)
         uk, uc = np.unique(keys, return_counts=True)

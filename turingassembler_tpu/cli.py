@@ -183,6 +183,32 @@ def cmd_build_4_5(cfg: Config):
     save_graph_info(g, cfg.out_dir, "level_5")
 
 
+@command("resolve_dump")
+def cmd_resolve_dump(cfg: Config):
+    """Dump-loop duplication + 2-branch collapse passes (reference
+    asm_resolve_dump_loop_ite / asm_resolve_dump_branch,
+    src/basic_resolve.c:1198-1317)."""
+    from .graph.condense import asm_condense
+    from .graph.mutable import MutableGraph
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.basic import resolve_dump_branch, resolve_dump_loop
+    set_log_stage("resolve_dump")
+    g = asmg.load_graph(cfg.in_file)
+    mg = MutableGraph.from_asm(g)
+    n_loop = 0
+    while True:
+        r = resolve_dump_loop(mg)
+        if not r:
+            break
+        n_loop += r
+    n_branch = resolve_dump_branch(mg)
+    from .logging_utils import get_logger
+    get_logger().info("resolve_dump: %d loop(s) duplicated, "
+                      "%d branch(es) collapsed", n_loop, n_branch)
+    save_graph_info(asm_condense(mg.to_asm()), cfg.out_dir, "dump_resolved")
+
+
 @command("resolve_bulges")
 def cmd_resolve_bulges(cfg: Config):
     """Simple-bulge pass on a graph file (reference

@@ -121,32 +121,87 @@ def path_center_seq(lg: AsmGraph, path: List[int]) -> str:
     return "".join(parts)
 
 
+MAX_READ_FRAG_LEN = 350    # reference assembly_graph.h:117
+FULL_LEN_SLACK = 30        # DP-score stand-in for "aligned == read len"
+
+
 def score_paths(lg: AsmGraph, paths: List[List[int]], reads: np.ndarray,
-                lengths: np.ndarray) -> int:
-    """Pick the best path by mapping local reads to candidate sequences
-    (reference get_path_scores build_bridge.c:519-568; score = mapped
-    count, error = ambiguity count)."""
+                lengths: np.ndarray, n1: int) -> int:
+    """Pick the best path by mapping the local read PAIRS to candidate
+    sequences — the reference writes the candidates as FASTA, BWA-maps
+    every pair, and counts per path (path_mapper,
+    src/barcode_builder.c:571-649):
+      score += 1  same path, opposite strands, |pos1-pos2| < 350
+      err   += 1  same path, same strand within the fragment length
+      err   += 1  a full-length-mapped mate with no proper partner
+    then best = argmax (score - min_score) + (max_err - err), starting
+    from path 0 at 0 (get_best_path, src/build_bridge.c:492-505).
+
+    Here: each path is indexed as two records (fw / rc); strand = which
+    record a mate hit; every voted hit is verified with the single DP
+    (ops/dp.py, BWA scoring) and only near-full-length alignments
+    (score >= len - FULL_LEN_SLACK, the analogue of `aligned < l ->
+    skip`) count.  reads rows [0, n1) are R1, [n1, 2*n1) the R2 mates.
+    """
     from ..io.fastq import NT4
-    seqs = [path_center_seq(lg, p) for p in paths]
+    from ..mapper.minimizers import rescore_hits
+    n_paths = len(paths)
+    if n_paths == 0:
+        return -1
+    seqs = []
+    for p in paths:
+        s = NT4[np.frombuffer(path_center_seq(lg, p).encode(), np.uint8)]
+        seqs.append(s)
+        seqs.append((3 - s)[::-1])        # rc record
     cand = AsmGraph(ksize=lg.ksize)
-    # build a throwaway graph-like container for the mapper: one edge per path
     lens = np.array([len(s) for s in seqs], np.int64)
     cand.seq_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    cat = np.concatenate([np.frombuffer(s.encode(), np.uint8) for s in seqs]) \
-        if seqs else np.zeros(0, np.uint8)
-    cand.seq_data = NT4[cat]
+    cand.seq_data = (np.concatenate(seqs) if seqs
+                     else np.zeros(0, np.uint8)).astype(np.uint8)
     cand.edge_source = np.zeros(len(seqs), np.int64)
     cand.edge_target = np.zeros(len(seqs), np.int64)
-    cand.edge_rc = np.arange(len(seqs), dtype=np.int64)
+    rc = np.arange(len(seqs), dtype=np.int64)
+    rc[0::2] += 1
+    rc[1::2] -= 1
+    cand.edge_rc = rc
     cand.edge_count = np.ones(len(seqs), np.int64)
     cand.node_rc = np.zeros(1, np.int64)
     idx = EdgeMinimizerIndex.build(cand)
-    edges, hits, _ = map_reads(idx, reads, lengths)
-    score = np.zeros(len(paths), np.int64)
-    for e in edges:
-        if e >= 0:
-            score[e] += 1
-    return int(np.argmax(score)) if len(paths) else -1
+    edges, hits, starts = map_reads(idx, reads, lengths)
+    _, sc = rescore_hits(cand.seq_data, cand.seq_off, edges, starts,
+                         reads, lengths)
+    full = (edges >= 0) & (sc >= lengths - FULL_LEN_SLACK)
+    path_id = np.where(full, edges // 2, -1)
+    strand = edges % 2
+    # forward-coordinate position: rc-record hits mirror
+    plen = lens[np.clip(edges, 0, len(seqs) - 1)]
+    pos_fw = np.where(strand == 0, starts,
+                      plen - (starts + lengths)).astype(np.int64)
+
+    score = np.zeros(n_paths, np.int64)
+    err = np.zeros(n_paths, np.int64)
+    p1, p2 = path_id[:n1], path_id[n1 : 2 * n1]
+    s1, s2 = strand[:n1], strand[n1 : 2 * n1]
+    f1, f2 = pos_fw[:n1], pos_fw[n1 : 2 * n1]
+    both = (p1 >= 0) & (p2 >= 0) & (p1 == p2)
+    near = np.abs(f1 - f2) < MAX_READ_FRAG_LEN
+    proper = both & near & (s1 != s2)
+    same_strand = both & near & (s1 == s2)
+    np.add.at(score, p1[proper], 1)
+    np.add.at(err, p1[same_strand], 1)
+    unpaired1 = (p1 >= 0) & ~proper
+    unpaired2 = (p2 >= 0) & ~proper
+    np.add.at(err, p1[unpaired1], 1)
+    np.add.at(err, p2[unpaired2], 1)
+
+    min_score = score.min()
+    max_err = err.max()
+    combined = (score - min_score) + (max_err - err)
+    best, best_val = 0, 0
+    for i in range(n_paths):
+        if combined[i] > best_val:
+            best, best_val = i, int(combined[i])
+    return best
 
 
 def try_bridging(cfg: Config, g: AsmGraph, lg: AsmGraph, scaffolds: List[int],
@@ -172,7 +227,7 @@ def try_bridging(cfg: Config, g: AsmGraph, lg: AsmGraph, scaffolds: List[int],
     check_k = lg.ksize + cfg.bridge.ksize_check_delta  # KSIZE_CHECK
     kset = set()
     if local_reads is not None:
-        bases, lengths = local_reads
+        bases, lengths, _ = local_reads
         kset = L.read_kmer_set(bases, lengths, check_k)
     paths = L.get_all_paths_kmer_check(lg, emap1, emap2, check_k, kset)
     if not paths:

@@ -72,14 +72,19 @@ class EdgeMap:
 def local_reads_for_pair(g: AsmGraph, rpath: ReadPath, bc_index,
                          e1: int, e2: int):
     """Fetch reads of the union of lvl-1 barcode sets of e1 and e2;
-    returns (bases (N,L), lengths) or None."""
+    returns (bases (N,L), lengths, n1) or None.  Rows [0, n1) are the
+    R1 mates and rows [n1, n1+n1) the matching R2 mates, so row i pairs
+    with row n1+i (path scoring needs the pairing)."""
     bcs = set(g.barcodes[e1][1]) | set(g.barcodes[e2][1])
     if not bcs:
         return None
     blob1, blob2 = fetch_reads_by_barcodes(rpath, bc_index, sorted(bcs))
     seqs = []
-    for blob in (blob1, blob2):
+    n1 = 0
+    for which, blob in enumerate((blob1, blob2)):
         _, ss, _, _ = parse_fastq_blob(blob)
+        if which == 0:
+            n1 = len(ss)
         seqs.extend(ss)
     if not seqs:
         return None
@@ -90,7 +95,7 @@ def local_reads_for_pair(g: AsmGraph, rpath: ReadPath, bc_index,
         arr = NT4[np.frombuffer(s, np.uint8)]
         bases[i, : len(arr)] = arr
         lengths[i] = len(arr)
-    return bases, lengths
+    return bases, lengths, n1
 
 
 def build_local_graph(cfg: Config, g: AsmGraph, rpath: ReadPath, bc_index,
@@ -100,7 +105,7 @@ def build_local_graph(cfg: Config, g: AsmGraph, rpath: ReadPath, bc_index,
     got = local_reads_for_pair(g, rpath, bc_index, e1, e2)
     if got is None:
         return None
-    bases, lengths = got
+    bases, lengths, _ = got
     # flank pseudo-reads (replaces the reference's add_garbage flank
     # k-mers, kmer_build.c:847-926): tail of e1 and head of e2
     flank_len = 3000

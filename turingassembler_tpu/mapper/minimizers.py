@@ -194,8 +194,14 @@ def _map_batch_sort(bases, lengths, keys, edge, pos, count, k: int, w: int):
         jnp.where(is_best, run_edge, -1))
     best_start = jnp.full((B + 1,), jnp.int32(1 << 30)).at[r].min(
         jnp.where(is_best, run_start, 1 << 30))
-    return (best_edge[:B], best[:B], jnp.where(best_edge[:B] >= 0,
-                                               best_start[:B], -1))
+    # confidence gate (reference RATIO_OF_CONFIDENT=0.85,
+    # MIN_NUMBER_SINGLETON=2, src/minimizers/smart_load.c:193): reject
+    # when the best edge holds < 85% of the read's singleton hits and
+    # the read has > 2 of them
+    tot = jax.ops.segment_sum(run_cnt, r, num_segments=B + 1)[:B]
+    conf = (best[:B] * 100 >= 85 * tot) | (tot <= 2)
+    be = jnp.where(conf, best_edge[:B], -1)
+    return (be, best[:B], jnp.where(be >= 0, best_start[:B], -1))
 
 
 def _fmix32(x):
@@ -278,14 +284,83 @@ def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
         jnp.where(is_best, t_edge, -1), mode="drop")
     best_start = jnp.full((B + 1,), jnp.int32(1 << 30)).at[r].min(
         jnp.where(is_best, start_t, 1 << 30), mode="drop")
-    return (best_edge[:B], best[:B], jnp.where(best_edge[:B] >= 0,
-                                               best_start[:B], -1))
+    # confidence gate (RATIO_OF_CONFIDENT=0.85, MIN_NUMBER_SINGLETON=2,
+    # reference src/minimizers/smart_load.c:193): same as the sort oracle
+    tot = jnp.zeros((B + 1,), jnp.int32).at[r].add(counts_t, mode="drop")[:B]
+    conf = (best[:B] * 100 >= 85 * tot) | (tot <= 2)
+    be = jnp.where(conf, best_edge[:B], -1)
+    return (be, best[:B], jnp.where(be >= 0, best_start[:B], -1))
+
+
+RESCORE_PAD = 16   # target-window slack around the voted start
+
+
+def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
+                 edges: np.ndarray, starts: np.ndarray,
+                 bases: np.ndarray, lengths: np.ndarray,
+                 scoring=None, min_score: int | None = None,
+                 pad: int = RESCORE_PAD):
+    """Verify voted hits with the framework's single alignment DP.
+
+    The reference rescores every BWA hit with a banded global DP before
+    trusting it (asm_reg2aln -> ksw_global2, src/barcode_builder.c:
+    448-563) and drops reads whose best score is under 50
+    (src/barcode_builder.c:790).  Here: the target is the hit edge's
+    window [start-pad, start+qlen+pad) clipped to the edge (a hit
+    hanging off the edge end gets a short window and the global DP
+    penalizes the overhang — the analogue of asm_reg2aln's >=10-base
+    clip rejection); score via ops/dp.py with BWA scoring.
+
+    Returns (accept (N,) bool, scores (N,) int32); unmapped lanes are
+    False/0.
+    """
+    from ..ops import dp
+    if scoring is None:
+        scoring = dp.SCORING_BWA
+    if min_score is None:
+        min_score = dp.MIN_MAP_SCORE
+    N, Lq = bases.shape
+    accept = np.zeros(N, bool)
+    scores = np.zeros(N, np.int32)
+    mapped = np.flatnonzero(edges >= 0)
+    if len(mapped) == 0:
+        return accept, scores
+    e = edges[mapped].astype(np.int64)
+    qlen = lengths[mapped].astype(np.int64)
+    elen = (seq_off[e + 1] - seq_off[e]).astype(np.int64)
+    s0 = np.clip(starts[mapped].astype(np.int64), 0, np.maximum(elen - 1, 0))
+    w0 = np.maximum(s0 - pad, 0)
+    w1 = np.minimum(s0 + qlen + pad, elen)
+    Lt = Lq + 2 * pad
+    idx = (seq_off[e] + w0)[:, None] + np.arange(Lt)[None, :]
+    inwin = np.arange(Lt)[None, :] < (w1 - w0)[:, None]
+    t = np.where(inwin, seq_data[np.minimum(idx, len(seq_data) - 1)],
+                 np.uint8(255))
+    # pad the lane count to a power-of-two bucket (static compile shapes)
+    B = dp.pad_pow2(len(mapped), lo=256)
+    q = np.full((B, Lq), 255, np.uint8)
+    q[: len(mapped)] = bases[mapped]
+    tb = np.full((B, Lt), 255, np.uint8)
+    tb[: len(mapped)] = t
+    ql = np.zeros(B, np.int32)
+    ql[: len(mapped)] = qlen
+    tl = np.zeros(B, np.int32)
+    tl[: len(mapped)] = (w1 - w0)
+    sc = dp.affine_scores(q, ql, tb, tl, scoring, band=128, mode="fit")
+    scores[mapped] = sc[: len(mapped)]
+    accept[mapped] = scores[mapped] >= min_score
+    return accept, scores
 
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
-              lengths: np.ndarray, batch_size: int = 8192):
+              lengths: np.ndarray, batch_size: int = 8192,
+              graph=None, min_score: int | None = None):
     """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
-    n_hits (N,), est_start (N,))."""
+    n_hits (N,), est_start (N,)).
+
+    graph: when given (anything with seq_data + seq_off pools), every
+    voted hit is DP-verified with rescore_hits and rejects are demoted
+    to unmapped — the production aux-info/bridge configuration."""
     N = len(bases)
     edges = np.full(N, -1, np.int32)
     hits = np.zeros(N, np.int32)
@@ -309,4 +384,10 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         edges[i : i + m] = np.asarray(be)[:m]
         hits[i : i + m] = np.asarray(bh)[:m]
         starts[i : i + m] = np.asarray(bs)[:m]
+    if graph is not None:
+        accept, _ = rescore_hits(graph.seq_data, graph.seq_off, edges,
+                                 starts, bases, lengths,
+                                 min_score=min_score)
+        edges = np.where(accept, edges, -1)
+        starts = np.where(accept, starts, -1)
     return edges, hits, starts

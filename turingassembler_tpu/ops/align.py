@@ -1,20 +1,17 @@
-"""Batched sequence-alignment DPs on device.
+"""Full-width scan lowering of the framework's single alignment DP.
 
-Replaces two native DP users of the reference (SURVEY.md §2.13.7):
-  - the bubble NW check (src/basic_resolve.c:929-953: match +1,
-    mismatch -1, linear gap -3),
-  - BWA's banded global rescoring ksw_global2 (called via asm_get_score,
-    src/barcode_builder.c:448-563: match 1, mismatch -2, gap open 3,
-    gap extend 1).
+Do not call directly — go through ops/dp.py (affine_scores), which
+dispatches between this lowering (CPU backend) and the Pallas banded
+kernel (ops/pallas_align.py, TPU backend).  Both lower the same
+affine-gap recurrence; linear gaps are the go=0 degenerate case (the
+reference bubble DP, src/basic_resolve.c:929-953) and BWA's
+ksw_global2 scoring is (1, -2, 3, 1) (src/barcode_builder.c:38-75).
 
 Formulation: one pair per batch lane, sequential scan over query rows,
 full vectorization over (batch, target) on the VPU.  The in-row
 dependency (gap chains) is folded into an associative running max:
   row[j] = max_t<=j ( b[t] - gap*(j-t) )  =  cummax(b + gap*j) - gap*j
-so each row is two vector ops + one scan — no per-cell loop.  This is
-the TPU-native shape of the DP; the same recurrence can later drop into
-a Pallas kernel with double-buffered rows if XLA fusion leaves
-bandwidth on the table.
+so each row is two vector ops + one scan — no per-cell loop.
 
 All shapes static: sequences padded with 255 (never matches), lengths
 carried separately; scores read out at (qlen, tlen) via gather.
@@ -31,56 +28,23 @@ import numpy as np
 NEG = jnp.int32(-(1 << 20))
 
 
-def _row_scan_max(b, gap):
-    """row[j] = max_{t<=j}(b[t] - gap*(j-t)) along last axis."""
-    n = b.shape[-1]
-    j = jnp.arange(n, dtype=b.dtype)
-    t = b + gap * j
-    m = jax.lax.associative_scan(jnp.maximum, t, axis=-1)
-    return m - gap * j
-
-
-@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
-def nw_score_batch(q, qlen, t, tlen, match: int = 1, mismatch: int = -1,
-                   gap: int = 3):
-    """Global (NW) score for each pair, linear gap penalty.
-
-    q: (B, Lq) uint8 codes (255 pad); t: (B, Lt).
-    Matches the reference bubble DP exactly on unpadded lengths.
-    """
-    B, Lq = q.shape
-    Lt = t.shape[1]
-    j = jnp.arange(Lt + 1, dtype=jnp.int32)
-
-    init = -gap * j[None, :].astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
-
-    def step(prev, qi):
-        # qi: (B,) query char at row i (i>=1); prev: (B, Lt+1)
-        sc = jnp.where((t == qi[:, None]) & (t < 4) & (qi[:, None] < 4),
-                       match, mismatch).astype(jnp.int32)
-        b = jnp.concatenate([
-            prev[:, :1] - gap,
-            jnp.maximum(prev[:, 1:] - gap, prev[:, :-1] + sc),
-        ], axis=1)
-        row = _row_scan_max(b, jnp.int32(gap))
-        return row, row
-
-    qT = q.T.astype(jnp.int32)  # (Lq, B)
-    last, rows = jax.lax.scan(step, init, qT)
-    # rows: (Lq, B, Lt+1); score at (qlen, tlen); qlen>=1 assumed
-    all_rows = jnp.concatenate([init[None], rows], axis=0)  # (Lq+1, B, Lt+1)
-    bidx = jnp.arange(B)
-    return all_rows[qlen, bidx, tlen]
-
-
-@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open", "gap_ext"))
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap_open",
+                                             "gap_ext", "mode"))
 def affine_global_score_batch(q, qlen, t, tlen, match: int = 1,
                               mismatch: int = -2, gap_open: int = 3,
-                              gap_ext: int = 1):
-    """Affine-gap (Gotoh) global alignment score per pair.
+                              gap_ext: int = 1, mode: str = "global"):
+    """Affine-gap (Gotoh) alignment score per pair.
 
     Gap of length L costs gap_open + gap_ext*L (ksw_global2-compatible
     scoring used by asm_get_score, reference src/barcode_builder.c:38-75).
+
+    mode "global": end-to-end on both sequences (score at (qlen, tlen)).
+    mode "fit":    query global, target-end gaps free — the alignment may
+                   start/end anywhere on the target (score = max over the
+                   qlen row).  This is the read-vs-contig-window shape:
+                   the reference aligns against BWA's exact [rb, re)
+                   extents, which we don't know; a free-slack window is
+                   the equivalent formulation.
 
     In-row horizontal-gap dependency is closed in O(scan): because a
     second gap-open inside a gap is always dominated by extending the
@@ -92,7 +56,10 @@ def affine_global_score_batch(q, qlen, t, tlen, match: int = 1,
     jj = jnp.arange(Lt + 1, dtype=jnp.int32)
     go, ge = jnp.int32(gap_open), jnp.int32(gap_ext)
 
-    h0 = jnp.where(jj == 0, 0, -(go + ge * jj)).astype(jnp.int32)
+    if mode == "fit":
+        h0 = jnp.zeros((Lt + 1,), jnp.int32)
+    else:
+        h0 = jnp.where(jj == 0, 0, -(go + ge * jj)).astype(jnp.int32)
     h0 = jnp.broadcast_to(h0, (B, Lt + 1))
     e0 = jnp.full((B, Lt + 1), NEG, jnp.int32)
 
@@ -118,4 +85,8 @@ def affine_global_score_batch(q, qlen, t, tlen, match: int = 1,
     (_, _, _), hs = jax.lax.scan(step, (h0, e0, jnp.int32(0)), qT)
     all_rows = jnp.concatenate([h0[None], hs], axis=0)
     bidx = jnp.arange(B)
+    if mode == "fit":
+        row = all_rows[qlen, bidx]                       # (B, Lt+1)
+        return jnp.max(jnp.where(jj[None, :] <= tlen[:, None], row, NEG),
+                       axis=1)
     return all_rows[qlen, bidx, tlen]

@@ -34,7 +34,8 @@ NEG = -(1 << 20)  # plain int: pallas kernels must not capture Array constants
 
 
 def _band_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref, *, W: int,
-                 match: int, mismatch: int, go: int, ge: int, Lq: int, Lt: int):
+                 match: int, mismatch: int, go: int, ge: int, Lq: int, Lt: int,
+                 mode: str):
     half = W // 2
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)[0]
     goge = jnp.int32(go + ge)
@@ -42,10 +43,15 @@ def _band_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref, *, W: int,
     qlen = qlen_ref[0]
     tlen = tlen_ref[0]
 
-    # row 0: H[0][j] = gap cost of column (j - half), valid for col >= 0
+    # row 0: H[0][j] = gap cost of column (j - half), valid for col >= 0;
+    # fit mode: free target-start gap, H[0][col] = 0 for every column
     col0 = jj - half
-    h0 = jnp.where(col0 == 0, 0,
-                   jnp.where(col0 > 0, -(go + ge * col0), NEG)).astype(jnp.int32)
+    if mode == "fit":
+        h0 = jnp.where(col0 >= 0, 0, NEG).astype(jnp.int32)
+    else:
+        h0 = jnp.where(col0 == 0, 0,
+                       jnp.where(col0 > 0, -(go + ge * col0), NEG)
+                       ).astype(jnp.int32)
     e0 = jnp.full((W,), NEG, jnp.int32)
 
     t_all = t_ref[0, :]
@@ -77,12 +83,19 @@ def _band_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref, *, W: int,
             - go - ge * jj
         h = jnp.maximum(b, f)
         h = jnp.where((cols < 0) | (cols > Lt), NEG, h)
-        # capture score at (qlen, tlen)
-        at = (i == qlen) & (jj == (tlen - i + half))
+        # capture score: global reads (qlen, tlen); fit takes the best
+        # cell of the qlen row at any column <= tlen (free target tail)
+        if mode == "fit":
+            at = (i == qlen) & (cols <= tlen)
+        else:
+            at = (i == qlen) & (jj == (tlen - i + half))
         best = jnp.maximum(best, jnp.max(jnp.where(at, h, NEG)))
         return h, e, best
 
-    best0 = jnp.max(jnp.where((jj == (tlen + half)) & (qlen == 0), h0, NEG))
+    if mode == "fit":
+        best0 = jnp.max(jnp.where((qlen == 0) & (col0 <= tlen), h0, NEG))
+    else:
+        best0 = jnp.max(jnp.where((jj == (tlen + half)) & (qlen == 0), h0, NEG))
     h, e, best = jax.lax.fori_loop(
         1, Lq + 1,
         lambda i, c: jax.lax.cond(i <= qlen, lambda cc: row(i, cc),
@@ -93,11 +106,12 @@ def _band_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref, *, W: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "match", "mismatch", "go", "ge",
-                                    "interpret"))
+                                    "interpret", "mode"))
 def banded_affine_score(q, qlen, t, tlen, W: int = 128, match: int = 1,
                         mismatch: int = -2, go: int = 3, ge: int = 1,
-                        interpret: bool = False):
-    """Banded affine-gap global score per pair.
+                        interpret: bool = False, mode: str = "global"):
+    """Banded affine-gap score per pair ("global" or "fit" — see
+    ops/align.py for the mode semantics).
 
     q (B, Lq) uint8, t (B, Lt) uint8, qlen/tlen (B,) int32.
     Requires |tlen - qlen| < W//2 per pair (caller-checked); returns -inf
@@ -106,7 +120,8 @@ def banded_affine_score(q, qlen, t, tlen, W: int = 128, match: int = 1,
     B, Lq = q.shape
     Lt = t.shape[1]
     kernel = functools.partial(_band_kernel, W=W, match=match,
-                               mismatch=mismatch, go=go, ge=ge, Lq=Lq, Lt=Lt)
+                               mismatch=mismatch, go=go, ge=ge, Lq=Lq, Lt=Lt,
+                               mode=mode)
     out = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -213,6 +213,88 @@ class BarcodeResolver:
             return 2
         return 0
 
+    def _legs_2_2(self, e: int):
+        """Topology gate + the 4 legs of a 2-2 bridge (shared by the
+        three strictness tiers, reference barcode_resolve2.c:534-553)."""
+        g = self.g
+        v = g.edges[e].target
+        u = g.edges[e].source
+        v_rc, u_rc = g.node_rc[v], g.node_rc[u]
+        if (g.deg(u) != 1 or g.deg(v_rc) != 1 or
+                g.deg(u_rc) != 2 or g.deg(v) != 2):
+            return None
+        return [g.node_adj[u_rc][0], g.node_adj[u_rc][1],
+                g.node_adj[v][0], g.node_adj[v][1]]
+
+    def _join_2_2(self, e: int, legs, a: int, b: int, c: int, d: int) -> int:
+        g = self.g
+        half = g.edges[e].count // 2
+        g.join_edge3(g.edges[legs[a]].rc_id, e, legs[b], half)
+        g.join_edge3(g.edges[legs[c]].rc_id, e, legs[d], half)
+        g.remove_edge_pair(e)
+        return 2
+
+    def check_2_2_med_strict(self, e: int, uni_cov: float) -> int:
+        """2-2 bridge, medium strictness (reference
+        check_2_2_med_strict_bridge, src/barcode_resolve2.c:627-725):
+        at least ONE of the four superiority conditions of a pairing
+        holds, no `greater` evidence for the cross pairing, both chosen
+        pairs positive, compatible coverage."""
+        g = self.g
+        legs = self._legs_2_2(e)
+        if legs is None:
+            return 0
+        uni = self._calibrate(legs, uni_cov)
+        fcov = [g.edge_cov(x) / uni for x in legs]
+        rcov = [_convert_cov_range(f) for f in fcov]
+        for (a, b), (c, d) in (((0, 2), (1, 3)), ((0, 3), (1, 2))):
+            if not (self.superior(legs[a], legs[b], legs[d]) == 1 or
+                    self.superior(legs[c], legs[d], legs[b]) == 1 or
+                    self.superior(legs[b], legs[a], legs[c]) == 1 or
+                    self.superior(legs[d], legs[c], legs[a]) == 1):
+                continue
+            if (self.greater(legs[a], legs[d], legs[b]) == 1 or
+                    self.greater(legs[c], legs[b], legs[d]) == 1 or
+                    self.greater(legs[b], legs[c], legs[a]) == 1 or
+                    self.greater(legs[d], legs[a], legs[c]) == 1):
+                return 0
+            if (self.positive(legs[a], legs[b]) == 0 or
+                    self.positive(legs[c], legs[d]) == 0):
+                return 0
+            if (not _check_coverage(fcov[a], fcov[b], rcov[a], rcov[b]) or
+                    not _check_coverage(fcov[c], fcov[d], rcov[c], rcov[d])):
+                return 0
+            return self._join_2_2(e, legs, a, b, c, d)
+        return 0
+
+    def check_2_2_low_strict(self, e: int, uni_cov: float) -> int:
+        """2-2 bridge, low strictness (reference
+        check_2_2_low_strict_bridge, src/barcode_resolve2.c:727-818):
+        both chosen pairs positive, neither cross pair positive,
+        compatible coverage."""
+        g = self.g
+        legs = self._legs_2_2(e)
+        if legs is None:
+            return 0
+        uni = self._calibrate(legs, uni_cov)
+        fcov = [g.edge_cov(x) / uni for x in legs]
+        rcov = [_convert_cov_range(f) for f in fcov]
+        for (a, b), (c, d) in (((0, 2), (1, 3)), ((0, 3), (1, 2))):
+            if not (self.positive(legs[a], legs[b]) == 1 or
+                    self.positive(legs[c], legs[d]) == 1):
+                continue
+            if (self.positive(legs[a], legs[d]) == 1 or
+                    self.positive(legs[c], legs[b]) == 1):
+                return 0
+            if (self.positive(legs[a], legs[b]) == 0 or
+                    self.positive(legs[c], legs[d]) == 0):
+                return 0
+            if (not _check_coverage(fcov[a], fcov[b], rcov[a], rcov[b]) or
+                    not _check_coverage(fcov[c], fcov[d], rcov[c], rcov[d])):
+                return 0
+            return self._join_2_2(e, legs, a, b, c, d)
+        return 0
+
     # -- n-m bridge ---------------------------------------------------------
     def _find_pair(self, se: int, adj: List[int]) -> int:
         ret_e = sec_e = -1
@@ -299,6 +381,66 @@ class BarcodeResolver:
             g.remove_edge_pair(e)
         return ret
 
+
+    def check_n_m_node(self, u: int, uni_cov: float) -> int:
+        """Resolve an n-m NODE (no bridge edge in the middle) by pairing
+        in-legs with out-legs on barcode support (reference
+        check_n_m_node, src/barcode_resolve2.c:943-1056).  Leftover 1-1
+        legs are joined when positive + coverage-compatible (with the
+        barcode check waived for short legs), else the in-leg is
+        isolated onto a fresh node."""
+        g = self.g
+        u_rc = g.node_rc[u]
+        if u == u_rc or g.deg(u) == 0 or g.deg(u_rc) == 0:
+            return 0
+        legs1 = [x for x in g.node_adj[u_rc]
+                 if g.edges[x].seq_len >= CONTIG_USE_BARCODE]
+        legs2 = [x for x in g.node_adj[u]
+                 if g.edges[x].seq_len >= CONTIG_USE_BARCODE]
+        uni = self._calibrate(legs1 + legs2, uni_cov)
+        ret = 0
+        while True:
+            resolved = False
+            for e1 in list(legs1):
+                f1 = g.edge_cov(e1) / uni
+                r1 = _convert_cov_range(f1)
+                e2 = self._find_pair(e1, legs2)
+                if e2 < 0:
+                    continue
+                f2 = g.edge_cov(e2) / uni
+                r2 = _convert_cov_range(f2)
+                if not _check_coverage(f1, f2, r1, r2):
+                    continue
+                et1 = self._find_pair(e2, legs1)
+                if et1 != -1 and et1 != e1:
+                    continue
+                g.join_edge(g.edges[e1].rc_id, e2)
+                legs1.remove(e1)
+                legs2.remove(e2)
+                resolved = True
+                break
+            if not resolved:
+                break
+            ret += 1
+        if g.deg(u_rc) == 1 and g.deg(u) == 1:
+            e1 = g.node_adj[u][0]
+            e2 = g.node_adj[u_rc][0]
+            f1 = g.edge_cov(e1) / uni
+            f2 = g.edge_cov(e2) / uni
+            r1, r2 = _convert_cov_range(f1), _convert_cov_range(f2)
+            long_enough = (g.edges[e1].seq_len >= MIN_CONTIG_READPAIR and
+                           g.edges[e2].seq_len >= MIN_CONTIG_READPAIR)
+            cov_ok = _check_coverage(f1, f2, r1, r2)
+            if long_enough:
+                ok = self.positive(e1, e2) == 1 and cov_ok
+            else:
+                ok = cov_ok
+            if ok:
+                g.join_edge(g.edges[e1].rc_id, e2)
+                ret += 1
+            else:
+                g.isolate_edge(e1)
+        return ret
 
     # -- jungle regions (resolve_complex) -----------------------------------
     def find_region(self, se: int, min_contig_len: int,
@@ -446,30 +588,48 @@ def _mean_cov(g: MutableGraph) -> float:
     return num / den if den else 1.0
 
 
-def resolve_n_m_simple(g: AsmGraph) -> AsmGraph:
-    """Fixpoint over 2-2 high-strict joins, then condense (reference
-    resolve_n_m_simple barcode_resolve2.c:1389-1406; the med/low strict
-    variants of the reference relax superiority to `greater` — covered
-    here by the n-m pairing pass)."""
-    mg = MutableGraph.from_asm(g)
-    res = BarcodeResolver(mg)
+def _resolve_2_2_tier(mg: MutableGraph, res: BarcodeResolver,
+                      check) -> int:
+    """One strictness tier to its fixpoint, long-loop pass interleaved
+    (reference resolve_2_2_bridge_{high,med,low}_strict,
+    src/barcode_resolve2.c:1241-1310)."""
+    uni = _mean_cov(mg)
+    cnt = 0
     while True:
-        uni = _mean_cov(mg)
-        cnt = 0
+        cnt_local = 0
         for e in range(mg.n_e):
             if mg.edges[e].source == -1:
                 continue
             ret = res.check_long_loop(e, uni)
             if ret == 0:
-                ret = res.check_2_2_high_strict(e, uni)
-            cnt += ret
+                cnt_local += check(e, uni)
+            else:
+                cnt_local += 1
+        cnt += cnt_local
+        if cnt_local == 0:
+            return cnt
+
+
+def resolve_n_m_simple(g: AsmGraph) -> AsmGraph:
+    """Fixpoint over the three 2-2 strictness tiers (high -> med ->
+    low), then condense (reference resolve_n_m_simple
+    barcode_resolve2.c:1389-1406)."""
+    mg = MutableGraph.from_asm(g)
+    res = BarcodeResolver(mg)
+    while True:
+        cnt = 0
+        cnt += _resolve_2_2_tier(mg, res, res.check_2_2_high_strict)
+        cnt += _resolve_2_2_tier(mg, res, res.check_2_2_med_strict)
+        cnt += _resolve_2_2_tier(mg, res, res.check_2_2_low_strict)
         if cnt == 0:
             break
     return asm_condense(mg.to_asm())
 
 
 def resolve_n_m_bridges(g: AsmGraph) -> AsmGraph:
-    """General n-m bridge pass + condense (check_n_m_bridge driver)."""
+    """General n-m bridge + n-m node passes + condense (reference
+    collapse_n_m_bridge / collapse_n_m_node,
+    src/barcode_resolve2.c:1312-1349)."""
     mg = MutableGraph.from_asm(g)
     res = BarcodeResolver(mg)
     uni = _mean_cov(mg)
@@ -477,6 +637,12 @@ def resolve_n_m_bridges(g: AsmGraph) -> AsmGraph:
         if mg.edges[e].source == -1:
             continue
         res.check_n_m_bridge(e, uni)
+    while True:
+        cnt = 0
+        for u in range(mg.n_v):
+            cnt += res.check_n_m_node(u, uni)
+        if cnt == 0:
+            break
     return asm_condense(mg.to_asm())
 
 

@@ -348,28 +348,36 @@ def _bubble_keep_longest(g: MutableGraph, branch) -> int:
     return len(branch) - 1
 
 
-def nw_align_score(s1: np.ndarray, s2: np.ndarray) -> int:
-    """Global alignment score, gap -3, match +1, mismatch -1 —
-    the reference bubble DP (basic_resolve.c:929-953), row-vectorized:
-    row[j] = max(b[j], max_{t<=j}(b[t] - 3*(j-t))) via running max."""
-    m, n = len(s1), len(s2)
-    prev = -3 * np.arange(n + 1)
-    for i in range(1, m + 1):
-        score = np.where(s2 == s1[i - 1], 1, -1)
-        b = np.empty(n + 1, np.int64)
-        b[0] = -3 * i
-        b[1:] = np.maximum(prev[1:] - 3, prev[:-1] + score)
-        t = b + 3 * np.arange(n + 1)
-        row = np.maximum.accumulate(t) - 3 * np.arange(n + 1)
-        prev = row
-    return int(prev[n])
+def nw_align_scores_batch(pairs) -> np.ndarray:
+    """Batched bubble NW (reference basic_resolve.c:929-953: gap -3,
+    match +1, mismatch -1) through the framework's single DP entry
+    (ops/dp.py; linear gap = affine with go=0, ge=3).
+
+    pairs: list of (s1, s2) uint8 code arrays.  Returns (len(pairs),)
+    int scores.  Sequences are padded into one power-of-two bucket so
+    the whole pass costs one device dispatch per bucket."""
+    from ..ops import dp
+    if not pairs:
+        return np.zeros(0, np.int32)
+    L = dp.pad_pow2(max(max(len(a), len(b)) for a, b in pairs))
+    B = len(pairs)
+    q = np.full((B, L), 255, np.uint8)
+    t = np.full((B, L), 255, np.uint8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (a, b) in enumerate(pairs):
+        q[i, : len(a)] = a
+        t[i, : len(b)] = b
+        qlen[i], tlen[i] = len(a), len(b)
+    # bubble edges share endpoints; length divergence beyond the accept
+    # window (MIN_NOTICE_LEN*2 = 200 score deficit) can never pass, so a
+    # band that covers it is exact for every accepted pair
+    return dp.affine_scores(q, qlen, t, tlen, dp.SCORING_BUBBLE, band=256)
 
 
-def _bubble_check_align(g: MutableGraph, e1: int, e2: int) -> bool:
-    s1, s2 = g.edges[e1].seq, g.edges[e2].seq
-    sc = nw_align_score(s1, s2)
-    mx = max(len(s1), len(s2))
-    return sc * 100 > 50 * mx and mx - sc < MIN_NOTICE_LEN * 2
+def _bubble_accept(score: int, len1: int, len2: int) -> bool:
+    mx = max(len1, len2)
+    return score * 100 > 50 * mx and mx - score < MIN_NOTICE_LEN * 2
 
 
 def check_simple_bubble(g: MutableGraph, se: int) -> int:
@@ -383,17 +391,30 @@ def check_simple_bubble(g: MutableGraph, se: int) -> int:
     return _bubble_keep_longest(g, branch)
 
 
-def check_align_bubble(g: MutableGraph, se: int) -> int:
+def _align_bubble_candidates(g: MutableGraph, se: int):
+    """Candidate partner edges of se for the align-bubble check
+    (same endpoints, both < 1000 bp; reference basic_resolve.c:955-977)."""
     u, v = g.edges[se].source, g.edges[se].target
-    if u == g.node_rc[v]:
-        return 0
-    if g.edges[se].seq_len >= 1000:
-        return 0
-    branch = [se]
-    for e in g.node_adj[u]:
-        if (g.edges[e].seq_len < 1000 and g.edges[e].target == v and
-                e != se and _bubble_check_align(g, se, e)):
-            branch.append(e)
+    if u == g.node_rc[v] or g.edges[se].seq_len >= 1000:
+        return []
+    return [e for e in g.node_adj[u]
+            if g.edges[e].seq_len < 1000 and g.edges[e].target == v
+            and e != se]
+
+
+def check_align_bubble(g: MutableGraph, se: int,
+                       accepted=None) -> int:
+    """accepted: optional precomputed {(se, e): bool} from the batched
+    DP pass; when None the pairs are scored on the spot."""
+    cand = _align_bubble_candidates(g, se)
+    if accepted is None:
+        scores = nw_align_scores_batch(
+            [(g.edges[se].seq, g.edges[e].seq) for e in cand])
+        accepted = {
+            (se, e): _bubble_accept(int(s), g.edges[se].seq_len,
+                                    g.edges[e].seq_len)
+            for e, s in zip(cand, scores)}
+    branch = [se] + [e for e in cand if accepted.get((se, e), False)]
     if len(branch) < 2:
         return 0
     _bubble_keep_longest(g, branch)
@@ -409,11 +430,128 @@ def resolve_simple_bubble(g: MutableGraph) -> int:
 
 
 def resolve_align_bubble(g: MutableGraph) -> int:
+    """Pass-level batching: collect every candidate pair first, score
+    them all in one DP dispatch, then apply merges in reference order.
+    Scores depend only on sequences, which merges never change (they
+    only remove edges and sum counts), so pre-scoring is exact."""
+    all_pairs = []
+    per_edge = {}
+    for se in range(g.n_e):
+        if g.edges[se].source == -1:
+            continue
+        cand = _align_bubble_candidates(g, se)
+        if cand:
+            per_edge[se] = cand
+            all_pairs.extend((se, e) for e in cand)
+    scores = nw_align_scores_batch(
+        [(g.edges[a].seq, g.edges[b].seq) for a, b in all_pairs])
+    accepted = {
+        (a, b): _bubble_accept(int(s), g.edges[a].seq_len, g.edges[b].seq_len)
+        for (a, b), s in zip(all_pairs, scores)}
     cnt = 0
-    for e in range(g.n_e):
-        if g.edges[e].source != -1:
-            cnt += check_align_bubble(g, e)
+    for se, cand in per_edge.items():
+        if g.edges[se].source == -1:
+            continue
+        branch = [se] + [e for e in cand
+                         if g.edges[e].source != -1
+                         and accepted.get((se, e), False)]
+        if len(branch) < 2:
+            continue
+        _bubble_keep_longest(g, branch)
+        cnt += len(branch)
     return cnt
+
+
+def _merge_barcodes(g: MutableGraph, dst: int, src: int) -> None:
+    """Merge src's barcode stores into dst (reference
+    asm_append_barcode_readpair) when aux info is attached."""
+    d, s = g.edges[dst], g.edges[src]
+    if getattr(d, "barcodes", None) is None or \
+            getattr(s, "barcodes", None) is None:
+        return
+    for lvl in range(3):
+        for bc, c in s.barcodes[lvl].items():
+            d.barcodes[lvl][bc] = d.barcodes[lvl].get(bc, 0) + c
+
+
+def resolve_dump_loop(g: MutableGraph) -> int:
+    """Duplicate a loop-through edge:  e1 ->(e)-> O <-(loop)-> O ->(e2)
+    becomes e · loop · e (reference asm_resolve_dump_loop,
+    src/basic_resolve.c:1221-1276; kept out of the assembly3 flow there,
+    src/process.c:499-501 — exposed as its own pass here too)."""
+    res = 0
+    tmp_n_e = g.n_e
+    for e in range(tmp_n_e):
+        ed = g.edges[e]
+        rc = ed.rc_id
+        if e > rc or ed.source == -1:
+            continue
+        tg = ed.target
+        sr = g.node_rc[ed.source]
+        if g.deg(tg) != 2 or g.deg(sr) != 2:
+            continue
+        loop_e = -1
+        for i in range(2):
+            for j in range(2):
+                if g.node_adj[tg][i] == g.edges[g.node_adj[sr][j]].rc_id:
+                    loop_e = g.node_adj[tg][i]
+                    break
+            if loop_e != -1:
+                break
+        if loop_e == -1:
+            continue
+        a0 = g.edges[g.node_adj[sr][0]].rc_id
+        e1 = a0 if a0 != loop_e else g.edges[g.node_adj[sr][1]].rc_id
+        e2 = g.node_adj[tg][0] if g.node_adj[tg][0] != loop_e \
+            else g.node_adj[tg][1]
+        if e1 == e2 or e == loop_e:
+            continue
+        g.append_seq(loop_e, e, g.ksize)
+        _merge_barcodes(g, loop_e, e)
+        g.append_seq(e, loop_e, g.ksize)
+        _merge_barcodes(g, e, loop_e)
+        g.edges[e].count += g.edges[e].count + g.edges[loop_e].count
+        loop_e_rc = g.edges[loop_e].rc_id
+        e_rc = g.edges[e].rc_id
+        g.append_seq(loop_e_rc, e_rc, g.ksize)
+        _merge_barcodes(g, loop_e_rc, e_rc)
+        g.append_seq(e_rc, loop_e_rc, g.ksize)
+        _merge_barcodes(g, e_rc, loop_e_rc)
+        g.edges[e_rc].count = g.edges[e].count
+        g.remove_edge_pair(loop_e)
+        res += 1
+    return res
+
+
+def resolve_dump_branch(g: MutableGraph) -> int:
+    """Collapse a 2-branch: e -> O ={mid0,mid1}= O -> next; drop the
+    lower-coverage middle branch (reference asm_resolve_dump_branch,
+    src/basic_resolve.c:1278-1317)."""
+    res = 0
+    for e in range(g.n_e):
+        ed = g.edges[e]
+        rc = ed.rc_id
+        if e > rc or ed.source == -1:
+            continue
+        tg = ed.target
+        if g.deg(tg) != 2:
+            continue
+        next_edge = [-1, -2]
+        mid_edge = [0, 0]
+        for i in range(2):
+            mid_e = g.node_adj[tg][i]
+            mid_edge[i] = mid_e
+            mid_tg = g.edges[mid_e].target
+            if g.deg(mid_tg) != 1:
+                break
+            next_edge[i] = g.node_adj[mid_tg][0]
+        if next_edge[0] != next_edge[1] or next_edge[0] == e:
+            continue
+        trash = mid_edge[0] if g.edge_cov(mid_edge[0]) < \
+            g.edge_cov(mid_edge[1]) else mid_edge[1]
+        g.remove_edge_pair(trash)
+        res += 1
+    return res
 
 
 def lazy_condense(g: MutableGraph) -> None:
