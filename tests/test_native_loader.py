@@ -157,3 +157,62 @@ def test_native_sorter_gzip_inputs(tmp_path, monkeypatch):
         outs[tagged] = tuple(_file_bytes(d, n) for n in
                              ["R1.sorted.fq", "R2.sorted.fq", "barcode.idx"])
     assert outs["plain"] == outs["gz"]
+
+
+def test_native_sorter_spill_byte_identical(tmp_path):
+    """A tiny memory budget forces sorted-run spills + k-way merge;
+    outputs must be byte-identical to the unlimited in-memory path
+    (reference external sort, src/sort_read.c:281-288,567-658)."""
+    import os
+
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.barcode import sort_read as sr
+    from turingassembler_tpu.config import Config, LIB_TYPE_BIOT
+    from turingassembler_tpu.io.fastq import encode_barcode
+
+    if sr._NATIVE_SORT is None:
+        pytest.skip("native sorter unavailable")
+
+    genome = tt.random_genome(20000, seed=3)
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=5000, n_molecules=60, reads_per_molecule=20,
+        read_len=80, seed=4)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1 = str(tmp_path / "R1.fq")
+    f2 = str(tmp_path / "R2.fq")
+    with open(f1, "w") as o1, open(f2, "w") as o2:
+        for i in range(len(r1)):
+            s1 = ACGT[r1[i]].tobytes().decode()
+            s2 = ACGT[r2[i]].tobytes().decode()
+            bseq = encode_barcode(int(bcs[i]) + 1, 16).decode()
+            o1.write(f"@read{i} BX:Z:{bseq} QB:Z:{'I'*16}\n{s1}\n+\n{'I'*len(s1)}\n")
+            o2.write(f"@read{i}\n{s2}\n+\n{'I'*len(s2)}\n")
+
+    def run(out, budget_env):
+        cfg = Config(files_1=[f1], files_2=[f2], files_I=[],
+                     lib_type=LIB_TYPE_BIOT, out_dir=str(tmp_path / out))
+        old = os.environ.get("TA_SORT_MEM_BYTES")
+        os.environ["TA_SORT_MEM_BYTES"] = str(budget_env)
+        try:
+            rp = sr._sort_reads_native(cfg, cfg.out_dir)
+        finally:
+            if old is None:
+                os.environ.pop("TA_SORT_MEM_BYTES", None)
+            else:
+                os.environ["TA_SORT_MEM_BYTES"] = old
+        assert rp is not None
+        return rp
+
+    os.makedirs(tmp_path / "mem", exist_ok=True)
+    os.makedirs(tmp_path / "spill", exist_ok=True)
+    rp_mem = run("mem", 0)                  # unlimited
+    rp_spill = run("spill", 16_384)         # ~16 KB -> many runs
+
+    for a, b in ((rp_mem.R1_path, rp_spill.R1_path),
+                 (rp_mem.R2_path, rp_spill.R2_path),
+                 (rp_mem.idx_path, rp_spill.idx_path)):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), (a, b)
+    # run files cleaned up
+    assert not [p for p in os.listdir(tmp_path / "spill")
+                if ".run" in p]

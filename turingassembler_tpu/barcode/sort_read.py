@@ -51,8 +51,11 @@ def _load_native_sorter():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
         lib.ta_sort_reads.restype = ctypes.c_int64
+        lib.ta_sort_reads_budget.argtypes = \
+            lib.ta_sort_reads.argtypes + [ctypes.c_int64]
+        lib.ta_sort_reads_budget.restype = ctypes.c_int64
         return lib
-    except OSError:
+    except (OSError, AttributeError):
         return None
 
 
@@ -76,10 +79,16 @@ def _sort_reads_native(cfg: Config, out_dir: str) -> Optional[ReadPath]:
     r1p = os.path.join(out_dir, "R1.sorted.fq")
     r2p = os.path.join(out_dir, "R2.sorted.fq")
     idxp = os.path.join(out_dir, "barcode.idx")
-    rc = _NATIVE_SORT.ta_sort_reads(
+    # -sm sort-memory budget (reference src/main.c:234-236): the native
+    # sorter spills sorted runs and k-way merges beyond it;
+    # TA_SORT_MEM_BYTES overrides for tests
+    budget = int(os.environ.get("TA_SORT_MEM_BYTES",
+                                cfg.mmem_gb * (1 << 30)))
+    rc = _NATIVE_SORT.ta_sort_reads_budget(
         carr(cfg.files_1), carr(cfg.files_2), carr(cfg.files_I),
         len(cfg.files_1), len(cfg.files_I), lib_map[cfg.lib_type],
-        os.fsencode(r1p), os.fsencode(r2p), os.fsencode(idxp))
+        os.fsencode(r1p), os.fsencode(r2p), os.fsencode(idxp),
+        budget)
     if rc < 0:
         return None
     return ReadPath(r1p, r2p, idxp)

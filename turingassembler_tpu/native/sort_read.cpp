@@ -8,11 +8,15 @@
 // per-record loop runs ~10-20k records/s; this path is the production
 // loader for full-scale libraries.
 //
-// In-memory variant: formatted records accumulate in two byte arenas
-// and a stable sort over (barcode, input order) replaces the external
-// merge — the reference's spill machinery is only needed below ~1/4 of
-// host RAM, and multi-GB libraries fit this rig.  lib_type codes match
-// turingassembler_tpu/config.py (1=BioT, 2=UST, 3=10X).
+// Formatted records accumulate in two byte arenas; when the arena
+// working set exceeds `mem_budget_bytes` (the CLI's -sm, reference
+// src/main.c:234-236) the current records are stable-sorted by barcode
+// and spilled to a sorted run file, and the runs are k-way merged at
+// the end (the reference's merge_sorted_small/large,
+// src/sort_read.c:149-210,567-658).  With no spill the single run is
+// written directly — both paths are byte-identical to the Python
+// per-record loop.  lib_type codes match turingassembler_tpu/config.py
+// (1=BioT, 2=UST, 3=10X).
 //
 // Build: make -C turingassembler_tpu/native   (g++ -O3 -shared -lz)
 
@@ -233,13 +237,135 @@ extern "C" {
 // Returns number of read pairs sorted, or -1 (input open/parse error),
 // -2 (output open error).  filesI may be null / shorter than n_files
 // (UST pairs without an index read get BX_NONE).
-int64_t ta_sort_reads(const char **files1, const char **files2,
-                      const char **filesI, int64_t n_files, int64_t n_filesI,
-                      int32_t lib_type, const char *out_r1,
-                      const char *out_r2, const char *out_idx) {
+// One spilled sorted run: [u64 bc][u32 len1][u32 len2][r1 text][r2 text]*
+struct RunWriter {
+    static int64_t flush(Arena &a1, Arena &a2, std::vector<RecMeta> &metas,
+                         const std::string &path) {
+        std::vector<int64_t> order(metas.size());
+        std::iota(order.begin(), order.end(), 0);
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int64_t x, int64_t y) {
+                             return metas[(size_t)x].bc < metas[(size_t)y].bc;
+                         });
+        FILE *f = fopen(path.c_str(), "wb");
+        if (!f) return -1;
+        std::vector<char> ob(1 << 22);
+        setvbuf(f, ob.data(), _IOFBF, ob.size());
+        for (int64_t oi : order) {
+            const RecMeta &m = metas[(size_t)oi];
+            fwrite(&m.bc, 8, 1, f);
+            fwrite(&m.len1, 4, 1, f);
+            fwrite(&m.len2, 4, 1, f);
+            fwrite(a1.data.data() + m.off1, 1, m.len1, f);
+            fwrite(a2.data.data() + m.off2, 1, m.len2, f);
+        }
+        fclose(f);
+        a1.data.clear();
+        a2.data.clear();
+        metas.clear();
+        return 0;
+    }
+};
+
+struct RunReader {
+    FILE *f = nullptr;
+    std::vector<char> buf;
+    uint64_t bc = 0;
+    uint32_t len1 = 0, len2 = 0;
+    std::vector<char> rec;  // r1 text followed by r2 text
+    bool ok = false;
+
+    bool open(const std::string &path) {
+        f = fopen(path.c_str(), "rb");
+        if (!f) return false;
+        buf.resize(1 << 22);
+        setvbuf(f, buf.data(), _IOFBF, buf.size());
+        return next();
+    }
+    bool next() {
+        ok = fread(&bc, 8, 1, f) == 1 && fread(&len1, 4, 1, f) == 1 &&
+             fread(&len2, 4, 1, f) == 1;
+        if (!ok) return false;
+        rec.resize((size_t)len1 + len2);
+        ok = fread(rec.data(), 1, rec.size(), f) == rec.size();
+        return ok;
+    }
+    void close() {
+        if (f) fclose(f);
+        f = nullptr;
+    }
+};
+
+struct SortOutput {
+    FILE *f1, *f2, *fi;
+    std::vector<char> ob1, ob2;
+    uint64_t off1 = 0, off2 = 0, poff1 = 0, poff2 = 0;
+    uint64_t prev_bc = 0;
+    bool have_prev = false;
+
+    bool open(const char *out_r1, const char *out_r2, const char *out_idx) {
+        f1 = fopen(out_r1, "wb");
+        f2 = fopen(out_r2, "wb");
+        fi = fopen(out_idx, "wb");
+        if (!f1 || !f2 || !fi) {
+            if (f1) fclose(f1);
+            if (f2) fclose(f2);
+            if (fi) fclose(fi);
+            return false;
+        }
+        ob1.resize(1 << 22);
+        ob2.resize(1 << 22);
+        setvbuf(f1, ob1.data(), _IOFBF, ob1.size());
+        setvbuf(f2, ob2.data(), _IOFBF, ob2.size());
+        return true;
+    }
+    void write_idx(uint64_t bc) {
+        uint64_t rec[5] = {bc, poff1, poff2, off1 - poff1, off2 - poff2};
+        fwrite(rec, 8, 5, fi);  // struct.pack("<QQQQQ") on LE hosts
+        poff1 = off1;
+        poff2 = off2;
+    }
+    void put(uint64_t bc, const char *r1, uint32_t l1, const char *r2,
+             uint32_t l2) {
+        if (have_prev && bc != prev_bc) write_idx(prev_bc);
+        fwrite(r1, 1, l1, f1);
+        fwrite(r2, 1, l2, f2);
+        off1 += l1;
+        off2 += l2;
+        prev_bc = bc;
+        have_prev = true;
+    }
+    void close() {
+        if (have_prev) write_idx(prev_bc);
+        fclose(f1);
+        fclose(f2);
+        fclose(fi);
+    }
+};
+
+int64_t ta_sort_reads_budget(const char **files1, const char **files2,
+                             const char **filesI, int64_t n_files,
+                             int64_t n_filesI, int32_t lib_type,
+                             const char *out_r1, const char *out_r2,
+                             const char *out_idx,
+                             int64_t mem_budget_bytes) {
     Arena a1, a2;
     std::vector<RecMeta> metas;
     std::string h1, s1, q1, h2, s2, q2, tag;
+    std::vector<std::string> run_paths;
+    int64_t n_total = 0;
+    std::string run_base(out_idx);
+    run_base += ".run";
+    auto maybe_spill = [&]() -> bool {
+        if (mem_budget_bytes <= 0) return true;
+        int64_t used = (int64_t)(a1.data.size() + a2.data.size() +
+                                 metas.size() * sizeof(RecMeta));
+        if (used < mem_budget_bytes || metas.empty()) return true;
+        std::string p = run_base + "." + std::to_string(run_paths.size());
+        if (RunWriter::flush(a1, a2, metas, p) < 0) return false;
+        run_paths.push_back(p);
+        return true;
+    };
 
     for (int64_t fi = 0; fi < n_files; fi++) {
         bool have_I = lib_type == 2 && filesI && fi < n_filesI;
@@ -342,54 +468,74 @@ int64_t ta_sort_reads(const char **files1, const char **files2,
             m.len1 = (uint32_t)(a1.data.size() - m.off1);
             m.len2 = (uint32_t)(a2.data.size() - m.off2);
             metas.push_back(m);
+            ++n_total;
+            if (!maybe_spill()) return -3;
         }
     }
 
-    // stable sort by barcode preserves input order within a barcode,
-    // matching numpy argsort(kind="stable")
-    std::vector<int64_t> order(metas.size());
-    std::iota(order.begin(), order.end(), 0);
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t x, int64_t y) {
-                         return metas[(size_t)x].bc < metas[(size_t)y].bc;
-                     });
+    SortOutput out;
+    if (!out.open(out_r1, out_r2, out_idx)) return -2;
 
-    FILE *f1 = fopen(out_r1, "wb");
-    FILE *f2 = fopen(out_r2, "wb");
-    FILE *fi = fopen(out_idx, "wb");
-    if (!f1 || !f2 || !fi) {
-        if (f1) fclose(f1);
-        if (f2) fclose(f2);
-        if (fi) fclose(fi);
-        return -2;
+    if (run_paths.empty()) {
+        // all in RAM: stable sort by barcode preserves input order
+        // within a barcode, matching numpy argsort(kind="stable")
+        std::vector<int64_t> order(metas.size());
+        std::iota(order.begin(), order.end(), 0);
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int64_t x, int64_t y) {
+                             return metas[(size_t)x].bc < metas[(size_t)y].bc;
+                         });
+        for (int64_t oi : order) {
+            const RecMeta &m = metas[(size_t)oi];
+            out.put(m.bc, a1.data.data() + m.off1, m.len1,
+                    a2.data.data() + m.off2, m.len2);
+        }
+        out.close();
+        return n_total;
     }
-    std::vector<char> ob1(1 << 22), ob2(1 << 22);
-    setvbuf(f1, ob1.data(), _IOFBF, ob1.size());
-    setvbuf(f2, ob2.data(), _IOFBF, ob2.size());
-    uint64_t off1 = 0, off2 = 0, poff1 = 0, poff2 = 0;
-    uint64_t prev_bc = 0;
-    bool have_prev = false;
-    auto write_idx = [&](uint64_t bc) {
-        uint64_t rec[5] = {bc, poff1, poff2, off1 - poff1, off2 - poff2};
-        fwrite(rec, 8, 5, fi);  // struct.pack("<QQQQQ") on LE hosts
-        poff1 = off1;
-        poff2 = off2;
-    };
-    for (int64_t oi : order) {
-        const RecMeta &m = metas[(size_t)oi];
-        if (have_prev && m.bc != prev_bc) write_idx(prev_bc);
-        fwrite(a1.data.data() + m.off1, 1, m.len1, f1);
-        fwrite(a2.data.data() + m.off2, 1, m.len2, f2);
-        off1 += m.len1;
-        off2 += m.len2;
-        prev_bc = m.bc;
-        have_prev = true;
+
+    // spill the tail records, then k-way merge the sorted runs; ties on
+    // barcode break toward the lowest run index (runs are in input
+    // order) so the merged stream equals the global stable sort
+    if (!metas.empty()) {
+        std::string p = run_base + "." + std::to_string(run_paths.size());
+        if (RunWriter::flush(a1, a2, metas, p) < 0) return -3;
+        run_paths.push_back(p);
     }
-    if (have_prev) write_idx(prev_bc);
-    fclose(f1);
-    fclose(f2);
-    fclose(fi);
-    return (int64_t)metas.size();
+    std::vector<RunReader> runs(run_paths.size());
+    for (size_t i = 0; i < run_paths.size(); ++i)
+        if (!runs[i].open(run_paths[i])) return -3;
+    typedef std::pair<uint64_t, size_t> HeapItem;  // (barcode, run idx)
+    auto cmp = [](const HeapItem &a, const HeapItem &b) { return a > b; };
+    std::vector<HeapItem> heap;
+    for (size_t i = 0; i < runs.size(); ++i)
+        if (runs[i].ok) heap.push_back({runs[i].bc, i});
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        size_t ri = heap.back().second;
+        heap.pop_back();
+        RunReader &r = runs[ri];
+        out.put(r.bc, r.rec.data(), r.len1, r.rec.data() + r.len1, r.len2);
+        if (r.next()) {
+            heap.push_back({r.bc, ri});
+            std::push_heap(heap.begin(), heap.end(), cmp);
+        }
+    }
+    out.close();
+    for (size_t i = 0; i < runs.size(); ++i) {
+        runs[i].close();
+        remove(run_paths[i].c_str());
+    }
+    return n_total;
+}
+
+int64_t ta_sort_reads(const char **files1, const char **files2,
+                      const char **filesI, int64_t n_files, int64_t n_filesI,
+                      int32_t lib_type, const char *out_r1,
+                      const char *out_r2, const char *out_idx) {
+    return ta_sort_reads_budget(files1, files2, filesI, n_files, n_filesI,
+                                lib_type, out_r1, out_r2, out_idx, 0);
 }
 
 }  // extern "C"
