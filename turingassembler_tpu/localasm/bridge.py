@@ -269,6 +269,8 @@ def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
         for e in p:
             mark[e] = mark[int(g.edge_rc[e])] = True
 
+    _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir)
+
     out_fa = os.path.join(out_dir, "scaffold.full.fasta")
     n_types = [0, 0, 0, 0]
     with open(out_fa, "w") as f:
@@ -299,9 +301,43 @@ def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
     return out_fa
 
 
+def _local_cache_path(cfg, g, e1, e2, out_dir):
+    return os.path.join(out_dir, f"local_assembly_{int(g.edge_rc[e1])}_{e2}",
+                        f"graph_k_{cfg.lk}_local_lvl_1.bin")
+
+
+def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir):
+    """Task-parallel per-gap local assemblies (reference thread-pool
+    driver build_bridge_iterator xT, src/build_bridge.c:898-903,952).
+    Each gap is independent; cfg.n_threads (-t) bounds the pool.  The
+    bridging loop afterwards hits the per-pair cache dirs, so outputs
+    are identical to the sequential order."""
+    jobs = {}
+    for p in paths:
+        for j in range(1, len(p)):
+            e1, e2 = p[j - 1], p[j]
+            if cov[e1] > MIN_PROCESS_COV or cov[e2] > MIN_PROCESS_COV:
+                continue
+            cache = _local_cache_path(cfg, g, e1, e2, out_dir)
+            if cache not in jobs and not os.path.exists(cache):
+                jobs[cache] = (e1, e2)
+    if len(jobs) < 2 or cfg.n_threads < 2:
+        return
+
+    def build_one(item):
+        cache, (e1, e2) = item
+        lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2)
+        if lg is not None:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            asmg.save_graph(lg, cache)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=cfg.n_threads) as ex:
+        list(ex.map(build_one, sorted(jobs.items())))
+
+
 def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):
-    cache = os.path.join(out_dir, f"local_assembly_{int(g.edge_rc[e1])}_{e2}",
-                         f"graph_k_{cfg.lk}_local_lvl_1.bin")
+    cache = _local_cache_path(cfg, g, e1, e2, out_dir)
     lg = None
     if os.path.exists(cache):
         lg = asmg.load_graph(cache)

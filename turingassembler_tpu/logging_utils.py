@@ -12,14 +12,23 @@ import logging
 import os
 import resource
 import sys
+import time
 from typing import Optional
 
-_STAGE = {"name": "init"}
+_STAGE = {"name": "init", "t0": time.time()}
 _LOGGER: Optional[logging.Logger] = None
 
 
 def set_log_stage(name: str) -> None:
+    """Switch the pipeline stage label; logs the wall-clock of the stage
+    being left (reference per-stage clock, src/time_utils.c used at every
+    process.c phase, e.g. process.c:59-65)."""
+    now = time.time()
+    prev = _STAGE["name"]
+    if prev not in ("init", name) and _LOGGER is not None:
+        _LOGGER.info("stage '%s' done in %.1fs", prev, now - _STAGE["t0"])
     _STAGE["name"] = name
+    _STAGE["t0"] = now
 
 
 class _StageFormatter(logging.Formatter):

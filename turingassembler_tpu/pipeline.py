@@ -122,8 +122,12 @@ def build_1_2(cfg: Config, g: Optional[AsmGraph] = None,
 
 def assembly_basic(cfg: Config) -> AsmGraph:
     """Stages 0-2 (the graph-only part of assembly3)."""
+    from .logging_utils import set_log_stage
+    set_log_stage("build_0")
     g = build_0(cfg)
+    set_log_stage("build_0_1")
     g = build_0_1(cfg, g)
+    set_log_stage("build_1_2")
     g = build_1_2(cfg, g)
     return g
 
@@ -138,12 +142,14 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
     scaffolding, and per-gap local-assembly bridging."""
     from .barcode.sort_read import sort_reads
     from .barcode.builder import construct_aux_info, get_read_pair_counts
+    from .logging_utils import set_log_stage
     from .scaffold.scaffolding import scaffolding as scaffold_stage
     from .localasm.bridge import build_bridge
 
     out_dir = cfg.out_dir
     g = assembly_basic(cfg)
 
+    set_log_stage("sort_read")
     rpath = sort_reads(cfg)
     log.info("sorted read archive: %s", rpath.idx_path)
 
@@ -154,6 +160,7 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
         from .mapper.minimizers import EdgeMinimizerIndex
         from .resolve.readpairs import get_long_contigs_by_readpairs
 
+        set_log_stage("readpair_extend")
         rp_counts = get_read_pair_counts(cfg, g, rpath)
         ext_path = graph_path(out_dir, cfg.k0, "extend", "fasta")
         get_long_contigs_by_readpairs(g, rp_counts, ext_path)
@@ -164,14 +171,18 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
             g = recount_coverage(g, reads, lengths)
             check_graph(g, check_seq=False)
 
+    set_log_stage("build_barcode")
     g = construct_aux_info(cfg, g, rpath)
     asmg.save_graph(g, graph_path(out_dir, cfg.k0, "added_barcode"))
 
+    set_log_stage("scaffolding")
     scaf_path = scaffold_stage(cfg, g, out_dir)
     log.info("scaffold paths: %s", scaf_path)
 
+    set_log_stage("build_bridge")
     final = build_bridge(cfg, g, rpath, scaf_path)
     log.info("final assembly: %s", final)
+    set_log_stage("done")
     return final
 
 
