@@ -150,6 +150,17 @@ def _bulk_attach(g: AsmGraph, lens, edges: np.ndarray, pos: np.ndarray,
                 d[bc_] = d.get(bc_, 0) + int(c_)
 
 
+def _library_mesh():
+    """Mesh for full-library map stages: all local devices, read-data-
+    parallel (the analogue of the reference's mapper thread fan-out,
+    barcode_builder.c:408-436).  None on a single-device host."""
+    import jax
+    if len(jax.devices()) < 2:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh()
+
+
 def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
                        index: Optional[EdgeMinimizerIndex] = None,
                        build_readpairs: bool = True) -> AsmGraph:
@@ -159,11 +170,12 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
     init_barcode_structs(g)
     lens = g.edge_len()
     n_pairs = n_mapped = 0
+    mesh = _library_mesh()
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
         # graph=g turns on DP verification of every voted hit
         # (reference asm_reg2aln rescore, barcode_builder.c:448-563)
-        e1, h1, p1 = map_reads(index, b1, l1, graph=g)
-        e2, h2, p2 = map_reads(index, b2, l2, graph=g)
+        e1, h1, p1 = map_reads(index, b1, l1, graph=g, mesh=mesh)
+        e2, h2, p2 = map_reads(index, b2, l2, graph=g, mesh=mesh)
         n_pairs += len(b1)
         n_mapped += int((e1 >= 0).sum() + (e2 >= 0).sum())
         _bulk_attach(g, lens, e1, p1, bcs)
@@ -198,11 +210,12 @@ def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
     if index is None:
         index = EdgeMinimizerIndex.build(g)
     counts: Dict[Tuple[int, int], int] = {}
+    mesh = _library_mesh()
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
         # rp_count_mapper keeps only full-length, >=50-score alignments
         # (barcode_builder.c:676-705); the DP gate enforces that here
-        e1, _, _ = map_reads(index, b1, l1, graph=g)
-        e2, _, _ = map_reads(index, b2, l2, graph=g)
+        e1, _, _ = map_reads(index, b1, l1, graph=g, mesh=mesh)
+        e2, _, _ = map_reads(index, b2, l2, graph=g, mesh=mesh)
         ok = (e1 >= 0) & (e2 >= 0)
         keys = e1[ok].astype(np.int64) * (1 << 32) + e2[ok].astype(np.int64)
         uk, uc = np.unique(keys, return_counts=True)

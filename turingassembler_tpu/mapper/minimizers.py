@@ -354,36 +354,46 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
               lengths: np.ndarray, batch_size: int = 8192,
-              graph=None, min_score: int | None = None):
+              graph=None, min_score: int | None = None, mesh=None):
     """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
     n_hits (N,), est_start (N,)).
 
     graph: when given (anything with seq_data + seq_off pools), every
     voted hit is DP-verified with rescore_hits and rejects are demoted
-    to unmapped — the production aux-info/bridge configuration."""
+    to unmapped — the production aux-info/bridge configuration.
+
+    mesh: when given (a multi-device jax Mesh), the vote loop runs
+    read-data-parallel over the mesh (parallel/sharded_map.py,
+    bit-equal to the single-device kernel)."""
     N = len(bases)
     edges = np.full(N, -1, np.int32)
     hits = np.zeros(N, np.int32)
     starts = np.full(N, -1, np.int32)
     if len(index.keys) == 0:
         return edges, hits, starts
-    keys = jnp.asarray(index.keys)
-    edge = jnp.asarray(index.edge)
-    pos = jnp.asarray(index.pos)
-    count = jnp.asarray(index.count)
-    for i in range(0, N, batch_size):
-        rb = bases[i : i + batch_size]
-        lb_ = lengths[i : i + batch_size]
-        if len(rb) < batch_size:
-            pad = batch_size - len(rb)
-            rb = np.concatenate([rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
-            lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
-        be, bh, bs = _map_batch(rb, lb_, keys, edge, pos, count,
-                                index.k, index.w)
-        m = min(batch_size, N - i)
-        edges[i : i + m] = np.asarray(be)[:m]
-        hits[i : i + m] = np.asarray(bh)[:m]
-        starts[i : i + m] = np.asarray(bs)[:m]
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from ..parallel.sharded_map import map_reads_sharded
+        edges, hits, starts = map_reads_sharded(
+            index, bases, lengths, mesh, batch_size=batch_size)
+    else:
+        keys = jnp.asarray(index.keys)
+        edge = jnp.asarray(index.edge)
+        pos = jnp.asarray(index.pos)
+        count = jnp.asarray(index.count)
+        for i in range(0, N, batch_size):
+            rb = bases[i : i + batch_size]
+            lb_ = lengths[i : i + batch_size]
+            if len(rb) < batch_size:
+                pad = batch_size - len(rb)
+                rb = np.concatenate(
+                    [rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
+                lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
+            be, bh, bs = _map_batch(rb, lb_, keys, edge, pos, count,
+                                    index.k, index.w)
+            m = min(batch_size, N - i)
+            edges[i : i + m] = np.asarray(be)[:m]
+            hits[i : i + m] = np.asarray(bh)[:m]
+            starts[i : i + m] = np.asarray(bs)[:m]
     if graph is not None:
         accept, _ = rescore_hits(graph.seq_data, graph.seq_off, edges,
                                  starts, bases, lengths,
