@@ -33,7 +33,38 @@ def _loops_and_bubbles(g: AsmGraph) -> AsmGraph:
     return mg.to_asm()
 
 
+# above this edge count the mask->tombstone passes (resolve/vectorized)
+# run first to shrink the graph before any python-object conversion —
+# metagenome-scale graphs never pay the per-edge loops for the bulk of
+# the tip/chimeric/bubble mass
+VEC_MIN_EDGES = 20_000
+
+
+def _vectorized_prepass(g: AsmGraph, log=None) -> AsmGraph:
+    from . import vectorized as V
+    g = g.clone()   # the passes tombstone in place; don't touch the input
+    it = 0
+    while g.n_e >= VEC_MIN_EDGES:
+        it += 1
+        c_tips = V.remove_tips(g)
+        g = asm_condense(g)
+        c_topo = V.remove_tips_topo(g)
+        g = asm_condense(g)
+        c_chim = V.remove_chimeric(g)
+        g = asm_condense(g)
+        c_bub = V.resolve_simple_bubble(g)
+        g = asm_condense(g)
+        if log:
+            log(f"vectorized prepass {it}: tips={c_tips} topo={c_topo} "
+                f"chimeric={c_chim} bubbles={c_bub} -> n_e={g.n_e}")
+        if c_tips + c_topo + c_chim + c_bub == 0:
+            break
+    return g
+
+
 def resolve_graph_operation(g: AsmGraph, log=None) -> AsmGraph:
+    if g.n_e >= VEC_MIN_EDGES:
+        g = _vectorized_prepass(g, log)
     it = 0
     while True:
         it += 1
