@@ -378,6 +378,7 @@ def cmd_split_molecules(cfg: Config):
     from .barcode.sort_read import ReadPath
     from .io import asmg
     from .scaffold.molecules import hit_all_barcodes
+    from .scaffold.molecules import order_molecule_edges
     set_log_stage("split_molecules")
     g = asmg.load_graph(cfg.in_file)
     rpath = ReadPath.from_sorted(cfg)
@@ -386,9 +387,10 @@ def cmd_split_molecules(cfg: Config):
     out = os.path.join(cfg.out_dir, "molecules_by_barcode.txt")
     with open(out, "w") as fp:
         for bc in sorted(bx_table):
-            hits = bx_table[bc]
-            parts = " ".join(f"{e}:{c}" for e, c in sorted(hits.items()))
-            fp.write(f"{bc}\t{parts}\n")
+            # ordered molecules (reference order_edges writes barcode +
+            # the chain of edge ids, split_molecules.c:145-185)
+            for chain in order_molecule_edges(g, sorted(bx_table[bc])):
+                fp.write(f"{bc}\n{' '.join(map(str, chain))}\n")
     print(out)
 
 

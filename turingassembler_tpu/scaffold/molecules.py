@@ -117,12 +117,213 @@ def count_edge_link_shared_bc(bx_table) -> Dict[Tuple[int, int], int]:
     return out
 
 
+# barcode-graph filter thresholds (reference src/barcode_graph.c:13-18)
+MIN_READ_PAIR_COUNT = 1
+VERY_SHORT_EDGE_LEN = 250
+LONG_PATH = 10
+MIN_PAIR_SUPPORT_PAIR_END = 1
+MIN_PAIR_SUPPORT_PAIR_END_SOFT = 0
+
+
+class BarcodeGraph:
+    """Directed candidate links over contig ids with rc-pair and
+    8-orientation group deletion (reference struct barcode_graph +
+    del_pair/del_eight_edge, src/barcode_graph.c:27-95)."""
+
+    def __init__(self, g: AsmGraph):
+        self.g = g
+        self.links: Dict[Tuple[int, int], int] = {}   # (a,b) -> group id
+        self.groups: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
+
+    def add_group(self, u: int, v: int) -> None:
+        rc = self.g.edge_rc
+        u_rc, v_rc = int(rc[u]), int(rc[v])
+        gid = len(self.groups)
+        # append order mirrors get_list_contig (barcode_graph.c:683-693)
+        for a, b in ((u, v), (v_rc, u_rc), (u, v_rc), (v, u_rc),
+                     (u_rc, v), (v_rc, u), (u_rc, v_rc), (v, u)):
+            if (a, b) not in self.links:
+                self.links[(a, b)] = gid
+                self.groups[gid].append((a, b))
+
+    def live(self) -> List[Tuple[int, int]]:
+        return list(self.links)
+
+    def del_pair(self, a: int, b: int) -> None:
+        """Delete (a,b) and its rc companion (del_pair_edge)."""
+        rc = self.g.edge_rc
+        for key in ((a, b), (int(rc[b]), int(rc[a]))):
+            self.links.pop(key, None)
+
+    def del_group(self, a: int, b: int) -> None:
+        """Delete the whole 8-orientation candidate (del_eight_edge)."""
+        gid = self.links.get((a, b))
+        if gid is None:
+            return
+        for key in self.groups[gid]:
+            self.links.pop(key, None)
+
+    def out_adj(self) -> Dict[int, List[int]]:
+        adj: Dict[int, List[int]] = defaultdict(list)
+        for a, b in self.links:
+            adj[a].append(b)
+        return adj
+
+    def in_adj(self) -> Dict[int, List[int]]:
+        adj: Dict[int, List[int]] = defaultdict(list)
+        for a, b in self.links:
+            adj[b].append(a)
+        return adj
+
+
+def _spath(g, stored, a, b):
+    key = (a, b)
+    if key not in stored:
+        stored[key] = shortest_path_edges(g, a, b, max_bp=MAX_RADIUS,
+                                          max_edges=MAX_PATH_LEN)
+    return stored[key]
+
+
+def _check_read_pair(g: AsmGraph, rp_table, path: List[int]) -> bool:
+    """Path endpoints must share read pairs with interior edges
+    (reference check_read_pair, src/barcode_graph.c:181-240)."""
+    thres = (MIN_PAIR_SUPPORT_PAIR_END if len(path) >= LONG_PATH
+             else MIN_PAIR_SUPPORT_PAIR_END_SOFT)
+    lens = g.edge_len()
+    rc = g.edge_rc
+    n = 0
+    for i in range(1, len(path)):
+        if lens[path[i]] < VERY_SHORT_EDGE_LEN or \
+                lens[path[0]] < VERY_SHORT_EDGE_LEN:
+            continue
+        if rp_table.get((path[0], int(rc[path[i]])), 0) > MIN_READ_PAIR_COUNT:
+            n += 1
+    for i in range(len(path) - 1):
+        if lens[path[i]] < VERY_SHORT_EDGE_LEN or \
+                lens[path[-1]] < VERY_SHORT_EDGE_LEN:
+            continue
+        if rp_table.get((path[i], int(rc[path[-1]])), 0) > MIN_READ_PAIR_COUNT:
+            n += 1
+    return n > thres
+
+
+def filter_shortest_path_and_readpair(g, bg: BarcodeGraph, stored,
+                                      rp_table) -> None:
+    """reference src/barcode_graph.c:367-404: each directed link needs a
+    bounded graph path whose interior is read-pair-supported."""
+    for a, b in bg.live():
+        if (a, b) not in bg.links:
+            continue
+        path = _spath(g, stored, a, b)
+        if path is None:
+            bg.del_pair(a, b)
+            continue
+        if not _check_read_pair(g, rp_table, path):
+            bg.del_pair(a, b)
+
+
+def filter_go_both_reverse_complement(g, bg: BarcodeGraph) -> None:
+    """A node linking to both an edge and its rc is ambiguous: drop the
+    whole candidate (reference src/barcode_graph.c:405-447)."""
+    rc = g.edge_rc
+    for forward in (True, False):
+        adj = bg.out_adj() if forward else bg.in_adj()
+        for node, nbrs in sorted(adj.items()):
+            for j in range(len(nbrs)):
+                for l in range(j + 1, len(nbrs)):
+                    if int(rc[nbrs[j]]) == nbrs[l]:
+                        if forward:
+                            bg.del_group(node, nbrs[j])
+                        else:
+                            bg.del_group(nbrs[j], node)
+
+
+def filter_go_reverse_complement(g, bg: BarcodeGraph) -> None:
+    """Drop links node -> rc(node) (reference :344-356)."""
+    rc = g.edge_rc
+    for a, b in bg.live():
+        if int(rc[a]) == b:
+            bg.del_pair(a, b)
+
+
+def filter_by_deg(bg: BarcodeGraph, thres: int) -> None:
+    """Nodes with more than thres out-(then in-)links lose them all
+    (reference src/barcode_graph.c:127-160)."""
+    for node, nbrs in sorted(bg.out_adj().items()):
+        if len(nbrs) > thres:
+            for b in nbrs:
+                bg.del_pair(node, b)
+    for node, nbrs in sorted(bg.in_adj().items()):
+        if len(nbrs) > thres:
+            for a in nbrs:
+                bg.del_pair(a, node)
+
+
+def remove_tips_barcode_graph(g, bg: BarcodeGraph, stored) -> None:
+    """Transitive reduction: a link is dropped when its endpoint already
+    lies on the graph shortest path to a sibling link (reference
+    src/barcode_graph.c:260-343)."""
+    max_deg_out = 10
+    for forward in (True, False):
+        adj = bg.out_adj() if forward else bg.in_adj()
+        for node, nbrs in sorted(adj.items()):
+            if len(nbrs) > max_deg_out:
+                continue
+            flag = [False] * len(nbrs)
+            for i, ni in enumerate(nbrs):
+                if flag[i]:
+                    continue
+                path = _spath(g, stored, node, ni) if forward \
+                    else _spath(g, stored, ni, node)
+                if path is None:
+                    continue
+                for pe in path:
+                    for l, nl in enumerate(nbrs):
+                        if pe == nl and l != i:
+                            flag[l] = True
+            for l, nl in enumerate(nbrs):
+                if flag[l]:
+                    bg.del_pair(node, nl) if forward else bg.del_pair(nl, node)
+
+
+def filter_bulge(bg: BarcodeGraph) -> None:
+    """2-out nodes whose targets are themselves linked keep only the
+    nearer one (reference filter_bulge, src/barcode_graph.c:97-125)."""
+    for node, nbrs in sorted(bg.out_adj().items()):
+        if len(nbrs) != 2:
+            continue
+        n0, n1 = nbrs
+        if (n0, n1) in bg.links:
+            bg.del_pair(node, n1)
+        elif (n1, n0) in bg.links:
+            bg.del_pair(node, n0)
+
+
+def filter_list_edge(g: AsmGraph, bg: BarcodeGraph,
+                     rp_table) -> List[Tuple[int, int]]:
+    """The reference's full filter pipeline (filter_list_edge,
+    src/barcode_graph.c:449-482)."""
+    stored: Dict[Tuple[int, int], Optional[List[int]]] = {}
+    filter_shortest_path_and_readpair(g, bg, stored, rp_table)
+    filter_go_both_reverse_complement(g, bg)
+    filter_go_reverse_complement(g, bg)
+    filter_by_deg(bg, 4)
+    remove_tips_barcode_graph(g, bg, stored)
+    filter_by_deg(bg, 4)        # filter_complex_barcode_graph
+    filter_bulge(bg)
+    filter_by_deg(bg, 1)
+    return bg.live()
+
+
 def candidate_pairs(g: AsmGraph, all_count, rp_table) -> List[Tuple[int, int]]:
+    """Barcode-count prefilter (reference get_list_contig,
+    src/barcode_graph.c:635-707) followed by the barcode-graph filter
+    pipeline."""
     lens = g.edge_len()
     cov = g.edge_cov()
     gcov = g.mean_coverage()
-    pairs = []
-    for (u, v), val in all_count.items():
+    bg = BarcodeGraph(g)
+    for (u, v), val in sorted(all_count.items()):
         if u == v or int(g.edge_rc[u]) == u:
             continue
         if cov[u] > 1.5 * gcov or cov[v] > 1.5 * gcov:
@@ -133,15 +334,8 @@ def candidate_pairs(g: AsmGraph, all_count, rp_table) -> List[Tuple[int, int]]:
         lv = min(int(lens[v]), MOLECULE_DENSITY)
         if val / (lu + lv) < MIN_SHARED_BARCODE_RATIO:
             continue
-        # orientation support: read pairs or a short graph path
-        for (a, b) in ((u, v), (v, u),
-                       (int(g.edge_rc[v]), int(g.edge_rc[u])),
-                       (int(g.edge_rc[u]), int(g.edge_rc[v]))):
-            if rp_table.get((a, b), 0) > 0 or \
-                    shortest_path_edges(g, a, b, max_bp=MAX_RADIUS,
-                                        max_edges=MAX_PATH_LEN) is not None:
-                pairs.append((a, b))
-    return pairs
+        bg.add_group(u, v)
+    return filter_list_edge(g, bg, rp_table)
 
 
 def extract_molecules(g: AsmGraph, pairs: List[Tuple[int, int]],
@@ -216,6 +410,68 @@ def extract_molecules(g: AsmGraph, pairs: List[Tuple[int, int]],
         if len(path) >= 2:
             molecules.append(path)
     return molecules
+
+
+MOL_MIN_EDGE_LEN = 500     # init_line_graph, split_molecules.c:27
+MOL_MAX_HOPS = 2           # MAX_PATH_LEN, split_molecules.c:4
+
+
+def _edges_in_radius(g: AsmGraph, e: int, max_hops: int = MOL_MAX_HOPS):
+    """Edges reachable from e within max_hops graph hops (reference
+    get_edges_in_radius BFS, split_molecules.c:104-135)."""
+    from collections import deque
+    seen = {e: 0}
+    q = deque([e])
+    while q:
+        cur = q.popleft()
+        d = seen[cur]
+        if d >= max_hops:
+            continue
+        tg = int(g.edge_target[cur])
+        for nxt in g.node_adj(tg):
+            nxt = int(nxt)
+            if nxt not in seen:
+                seen[nxt] = d + 1
+                q.append(nxt)
+    return set(seen)
+
+
+def order_molecule_edges(g: AsmGraph, hit_edges) -> List[List[int]]:
+    """Order one barcode's hit edges into molecules: line graph over
+    long hit edges (+rcs) linked by <=2-hop graph reachability, then
+    unambiguous chains (reference order_edges + construct_line_graph,
+    src/split_molecules.c:49-185)."""
+    lens = g.edge_len()
+    verts: Set[int] = set()
+    for e in hit_edges:
+        if g.edge_source[e] < 0 or lens[e] < MOL_MIN_EDGE_LEN:
+            continue
+        verts.add(int(e))
+        verts.add(int(g.edge_rc[e]))
+    children: Dict[int, List[int]] = defaultdict(list)
+    parents: Dict[int, List[int]] = defaultdict(list)
+    for e in sorted(verts):
+        near = _edges_in_radius(g, e)
+        for ne in sorted(verts):
+            if ne != e and ne in near:
+                children[e].append(ne)
+                parents[ne].append(e)
+    chains = []
+    for e in sorted(verts):
+        if len(parents[e]) != 0:
+            continue
+        chain = []
+        v = e
+        while len(children[v]) == 1:
+            chain.append(v)
+            v = children[v][0]
+            if len(parents[v]) != 1:
+                break
+        if len(children[v]) == 0 and len(parents[v]) == 1:
+            chain.append(v)
+            if len(chain) > 1:
+                chains.append(chain)
+    return chains
 
 
 def molecule_contigs(cfg: Config, g: AsmGraph, rpath,
