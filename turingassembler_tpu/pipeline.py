@@ -64,7 +64,10 @@ def _genomic_batches(cfg: Config, batch_size: int = 4096, pad_to: int = 256):
         for bases, lengths, _ in read_fastq_batches_native(
                 path, batch_size=batch_size, pad_to=pad_to):
             if cfg.lib_type == LIB_TYPE_10X and is_r1:
-                bases = bases[:, 23:]
+                # trim, then re-pad so R1/R2 batch widths stay equal
+                bases = np.concatenate(
+                    [bases[:, 23:],
+                     np.full((len(bases), 23), 255, np.uint8)], axis=1)
                 lengths = np.maximum(lengths - 23, 0)
             if len(bases) < batch_size:
                 pad = batch_size - len(bases)

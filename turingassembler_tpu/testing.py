@@ -104,6 +104,79 @@ def sim_barcoded_pairs(
     return r1, r2, lengths, lengths.copy(), np.asarray(bcs, np.int64)
 
 
+def gc_skewed_genome(n: int, gc: float = 0.65, seed: int = 0) -> np.ndarray:
+    """Genome with biased base composition (real genomes are not
+    uniform; E. coli is ~0.51 GC, some bacteria 0.25-0.75)."""
+    rng = np.random.default_rng(seed)
+    # codes: A=0 C=1 G=2 T=3
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return rng.choice(4, size=n, p=p).astype(np.uint8)
+
+
+def mutate_identity(seq: np.ndarray, identity: float, seed: int = 0) -> np.ndarray:
+    """Substitute bases so the copy is ~identity similar to seq."""
+    rng = np.random.default_rng(seed)
+    out = seq.copy()
+    m = rng.random(len(seq)) > identity
+    out[m] = (out[m] + rng.integers(1, 4, int(m.sum()))) % 4
+    return out.astype(np.uint8)
+
+
+def genome_with_repeat_family(
+    n_segments: int = 4,
+    segment_len: int = 8000,
+    repeat_len: int = 2000,
+    identity: float = 0.95,
+    seed: int = 0,
+) -> np.ndarray:
+    """Unique segments interleaved with near-identical repeat-family
+    copies (the hard case for real assemblers: 90-98%-identity repeats
+    collapse or misjoin if resolution is weak)."""
+    rng = np.random.default_rng(seed)
+    base_rep = random_genome(repeat_len, seed=seed + 1000)
+    parts = []
+    for i in range(n_segments):
+        parts.append(random_genome(segment_len, seed=seed + i))
+        if i < n_segments - 1:
+            parts.append(mutate_identity(base_rep, identity, seed=seed + 2000 + i))
+    return np.concatenate(parts)
+
+
+def apply_indel_errors(
+    reads: np.ndarray, lengths: np.ndarray,
+    sub_rate: float = 0.008, indel_rate: float = 0.002, seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Realistic error model: substitutions + insertions/deletions.
+    Returns new (reads, lengths) with per-read variable lengths (padded
+    with 255 to the original width)."""
+    rng = np.random.default_rng(seed)
+    N, L = reads.shape
+    out = np.full((N, L), 255, np.uint8)
+    out_len = np.zeros(N, np.int32)
+    for i in range(N):
+        seq = list(reads[i, : lengths[i]])
+        # substitutions
+        j = 0
+        res = []
+        while j < len(seq):
+            r = rng.random()
+            if r < indel_rate / 2:        # deletion
+                j += 1
+                continue
+            if r < indel_rate:            # insertion
+                res.append(int(rng.integers(0, 4)))
+                # current base still emitted below
+            b = seq[j]
+            if rng.random() < sub_rate:
+                b = (b + int(rng.integers(1, 4))) % 4
+            res.append(b)
+            j += 1
+        res = res[:L]
+        out[i, : len(res)] = res
+        out_len[i] = len(res)
+    return out, out_len
+
+
 def codes_to_str(codes: np.ndarray) -> str:
     return ACGT[codes].tobytes().decode()
 
