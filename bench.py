@@ -12,8 +12,10 @@ generous ceiling for the C pipeline).  vs_baseline = value / 250000.
 
 Workload: synthetic 2 Mbp genome, 150 bp error-free reads at ~38x,
 k = 45 (the reference's default k0, src/main.c:141), full path:
-host batch -> device canonical (k+1)-mer extraction -> device sort +
-run-length count -> host merge of per-batch runs -> level-0 unitig graph.
+threaded H2D of packed read chunks -> device canonical (k+1)-mer window
+extraction -> ONE device sort + run-length count (kmer/megasort.py) ->
+device level-0 unitig build (graph/device_build.py) -> host graph pull.
+Only unitig-sized outputs cross the (slow) host link.
 """
 
 import json
@@ -29,30 +31,22 @@ def log(*a):
 
 
 def main():
-    # hash-table sizing tuned for this workload's ~2M unique (k+1)-mers;
-    # the relay D2H runs ~10 MB/s so the pull volume matters
-    os.environ.setdefault("TA_HASH_CAP_LOG2", "25")
-    os.environ.setdefault("TA_HASH_OUT_LOG2", "22")
-    # this VM's minor page faults cost ~34us/page; keep large blocks on a
-    # persistent heap so the host-side build faults its pages exactly once
+    # output table sized for this workload's ~2M unique (k+1)-mers
+    os.environ.setdefault("TA_SORT_OUT_LOG2", "22")
+    # keep large host blocks on a persistent heap (page faults ~34us each)
     from turingassembler_tpu.ops.hostmem import tune_host_malloc
     tune_host_malloc()
     import jax
 
-    # axon remote-compile costs minutes per shape; persist compiled
-    # executables so repeated bench runs (and pipeline runs) skip it
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from turingassembler_tpu import testing as tt
-    from turingassembler_tpu.graph.build import build_graph_from_kedges
-    from turingassembler_tpu.kmer import count as kc
 
     k = int(os.environ.get("TA_BENCH_K", 45))
     read_len = 150
-    # tile = batch*(read_len-k) rows; keep lax.sort modest (876k rows)
     batch = int(os.environ.get("TA_BENCH_BATCH", 8192))
     n_batches = int(os.environ.get("TA_BENCH_NBATCHES", 64))
     genome_size = int(os.environ.get("TA_BENCH_GENOME", 2_000_000))
@@ -80,27 +74,42 @@ def main():
     reads, lengths = tt.sim_reads(
         genome, coverage=n_reads * read_len / genome_size,
         read_len=read_len, seed=1, pad_to=read_len + 2)
-    reads, lengths = reads[:n_reads], lengths[:n_reads]
+    reads, lengths = reads[:n_reads], lengths[:n_reads].astype(np.int32)
     log(f"reads: {reads.shape}")
 
-    # warmup/compile: one full pass compiles the tile sort + every LSM
-    # merge level so the timed pass measures steady-state throughput; the
-    # warmup build additionally faults in the host heap working set once
-    # (page faults on this VM are ~34us each and would otherwise land in
-    # the timed region)
+    if cpu_fallback:
+        from turingassembler_tpu.graph.build import build_graph_from_kedges
+        from turingassembler_tpu.kmer import count as kc
+
+        def run_once():
+            t0 = time.time()
+            kedges, counts = kc.count_kedges_from_reads(
+                reads, lengths, k, batch_size=batch, engine="np")
+            t1 = time.time()
+            g = build_graph_from_kedges(kedges, counts, k)
+            t2 = time.time()
+            return t1 - t0, t2 - t1, len(kedges), g
+    else:
+        from turingassembler_tpu.graph.device_build import build_graph_on_device
+        from turingassembler_tpu.kmer.megasort import count_reads_device
+
+        def run_once():
+            t0 = time.time()
+            uniq, counts, n = count_reads_device(
+                reads, lengths, k, chunk_reads=65536, threads=8)
+            t1 = time.time()
+            g = build_graph_on_device(uniq, counts, n, k)
+            t2 = time.time()
+            return t1 - t0, t2 - t1, n, g
+
+    # warmup/compile pass: compiles every executable and faults in the
+    # host heap working set once so the timed pass is steady-state
     t0 = time.time()
-    wk, wc = kc.count_kedges_from_reads(reads, lengths, k, batch_size=batch)
-    build_graph_from_kedges(wk, wc, k)
+    run_once()
     log(f"compile+warmup: {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    kedges, counts = kc.count_kedges_from_reads(reads, lengths, k, batch_size=batch)
-    t_count = time.time() - t0
-    log(f"count: {t_count:.2f}s  ({len(kedges):,} unique (k+1)-mers)")
-
-    t0 = time.time()
-    g = build_graph_from_kedges(kedges, counts, k)
-    t_build = time.time() - t0
+    t_count, t_build, n_uniq, g = run_once()
+    log(f"count: {t_count:.2f}s  ({n_uniq:,} unique (k+1)-mers)")
     log(f"graph build: {t_build:.2f}s  (n_v={g.n_v}, n_e={g.n_e})")
 
     total = t_count + t_build

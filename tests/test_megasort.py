@@ -1,0 +1,168 @@
+"""Megasort count engine + device graph build vs the oracle paths."""
+
+import numpy as np
+import pytest
+
+from turingassembler_tpu import testing as tt
+from turingassembler_tpu.kmer import count as kc
+from turingassembler_tpu.kmer.megasort import (
+    count_kedges_megasort, count_reads_device, pull_rows)
+from turingassembler_tpu.graph.build import build_graph_from_kedges
+from turingassembler_tpu.graph.device_build import build_graph_on_device
+from turingassembler_tpu.graph.invariants import check_graph
+
+
+def _batches(reads, lengths, bs):
+    for i in range(0, len(reads), bs):
+        yield reads[i:i + bs], lengths[i:i + bs]
+
+
+@pytest.mark.parametrize("k", [45, 31, 21])
+def test_megasort_matches_np_engine(k):
+    genome = tt.random_genome(20_000, seed=3)
+    reads, lengths = tt.sim_reads(genome, coverage=8, read_len=100, seed=4,
+                                  error_rate=0.01)
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, k, engine="np")
+    km_, cm = count_kedges_megasort(_batches(reads, lengths, 512), k)
+    assert len(kn) == len(km_)
+    assert np.array_equal(kn, km_)
+    assert np.array_equal(cn.astype(np.int64), cm.astype(np.int64))
+
+
+def test_megasort_k31_all_t_sentinel_tie():
+    """k=31 -> (k+1)=32: a real all-T 32-mer is bit-identical to the
+    sentinel; the validity sort column must keep them apart."""
+    k = 31
+    # reads of pure T produce the all-T kedge; plus pad/invalid lanes
+    reads = np.full((8, 64), 3, np.uint8)
+    reads[4:, 40:] = 255                      # truncated reads
+    lengths = np.array([64] * 4 + [40] * 4, np.int32)
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, k, engine="np")
+    km_, cm = count_kedges_megasort(_batches(reads, lengths, 4), k)
+    assert np.array_equal(kn, km_)
+    assert np.array_equal(cn.astype(np.int64), cm.astype(np.int64))
+
+
+def test_megasort_streaming_flushes_merge():
+    """Force several LSM flushes + merges with a tiny lane budget."""
+    genome = tt.random_genome(8_000, seed=7)
+    reads, lengths = tt.sim_reads(genome, coverage=10, read_len=80, seed=8)
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, 45, engine="np")
+    km_, cm = count_kedges_megasort(_batches(reads, lengths, 64), 45,
+                                    max_lanes=2_000)
+    assert np.array_equal(kn, km_)
+    assert np.array_equal(cn.astype(np.int64), cm.astype(np.int64))
+
+
+def test_megasort_min_count():
+    genome = tt.random_genome(5_000, seed=9)
+    reads, lengths = tt.sim_reads(genome, coverage=6, read_len=90, seed=10,
+                                  error_rate=0.02)
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, 31, engine="np",
+                                        min_count=3)
+    km_, cm = count_kedges_megasort(_batches(reads, lengths, 128), 31,
+                                    min_count=3)
+    assert np.array_equal(kn, km_)
+    assert np.array_equal(cn.astype(np.int64), cm.astype(np.int64))
+
+
+def test_count_reads_device_roundtrip():
+    genome = tt.random_genome(10_000, seed=11)
+    reads, lengths = tt.sim_reads(genome, coverage=6, read_len=100, seed=12)
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, 45, engine="np")
+    uniq, counts, n = count_reads_device(reads, lengths.astype(np.int32), 45,
+                                         chunk_reads=256, out_cap_log2=17)
+    assert n == len(kn)
+    assert np.array_equal(pull_rows(uniq, n), kn)
+    assert np.array_equal(pull_rows(counts, n).astype(np.int64), cn)
+
+
+# ---------------------------------------------------------------------------
+# device graph build vs the numpy oracle
+# ---------------------------------------------------------------------------
+
+def _graphs_isomorphic(ga, gb):
+    """Edge ids match by construction; nodes may be renumbered.  Verify a
+    consistent rc-respecting bijection."""
+    assert ga.n_e == gb.n_e
+    assert ga.n_v == gb.n_v
+    assert np.array_equal(ga.edge_rc, gb.edge_rc)
+    assert np.array_equal(ga.edge_count, gb.edge_count)
+    assert np.array_equal(ga.seq_off, gb.seq_off)
+    assert np.array_equal(ga.seq_data, gb.seq_data)
+    phi = {}
+    def bind(a, b):
+        if a in phi:
+            assert phi[a] == b, f"node map conflict {a}: {phi[a]} vs {b}"
+        else:
+            phi[a] = b
+    for e in range(ga.n_e):
+        bind(int(ga.edge_source[e]), int(gb.edge_source[e]))
+        bind(int(ga.edge_target[e]), int(gb.edge_target[e]))
+    # bijectivity + rc structure
+    assert len(set(phi.values())) == len(phi)
+    for a, b in phi.items():
+        ra, rb = int(ga.node_rc[a]), int(gb.node_rc[b])
+        if ra in phi:
+            assert phi[ra] == rb
+
+
+def _build_both(genome_seed, genome_size, coverage=8, k=21, read_len=80,
+                error_rate=0.0, circular=False):
+    genome = tt.random_genome(genome_size, seed=genome_seed)
+    if circular:
+        genome = np.concatenate([genome, genome[:read_len - 1]])
+    reads, lengths = tt.sim_reads(genome, coverage=coverage,
+                                  read_len=read_len, seed=genome_seed + 1,
+                                  error_rate=error_rate)
+    kedges, counts = kc.count_kedges_from_reads(reads, lengths, k, engine="np")
+    g_np = build_graph_from_kedges(kedges, counts, k)
+    import jax.numpy as jnp
+    cap = 1 << max(int(max(len(kedges), 2) - 1).bit_length(), 10)
+    pad = cap - len(kedges)
+    uniq = jnp.asarray(np.concatenate(
+        [kedges, np.full((pad, kedges.shape[1]), 0xFFFFFFFF, np.uint32)]))
+    cnts = jnp.asarray(np.concatenate(
+        [counts.astype(np.int32), np.zeros(pad, np.int32)]))
+    g_dev = build_graph_on_device(uniq, cnts, len(kedges), k)
+    return g_np, g_dev
+
+
+@pytest.mark.parametrize("seed,size,err", [(21, 6_000, 0.0),
+                                           (22, 4_000, 0.02),
+                                           (23, 12_000, 0.005)])
+def test_device_build_matches_numpy(seed, size, err):
+    g_np, g_dev = _build_both(seed, size, error_rate=err)
+    check_graph(g_dev)
+    _graphs_isomorphic(g_np, g_dev)
+
+
+def test_device_build_repeat_genome():
+    """Repeat family -> real branches, many unitigs."""
+    rng = np.random.default_rng(5)
+    rep = rng.integers(0, 4, 500, dtype=np.uint8)
+    parts = [rng.integers(0, 4, 800, dtype=np.uint8) for _ in range(4)]
+    genome = np.concatenate([parts[0], rep, parts[1], rep, parts[2], rep,
+                             parts[3]])
+    reads, lengths = tt.sim_reads(genome, coverage=12, read_len=70, seed=6)
+    kedges, counts = kc.count_kedges_from_reads(reads, lengths, 21, engine="np")
+    g_np = build_graph_from_kedges(kedges, counts, 21)
+    import jax.numpy as jnp
+    cap = 1 << max(int(len(kedges) - 1).bit_length(), 10)
+    pad = cap - len(kedges)
+    uniq = jnp.asarray(np.concatenate(
+        [kedges, np.full((pad, kedges.shape[1]), 0xFFFFFFFF, np.uint32)]))
+    cnts = jnp.asarray(np.concatenate(
+        [counts.astype(np.int32), np.zeros(pad, np.int32)]))
+    g_dev = build_graph_on_device(uniq, cnts, len(kedges), 21)
+    check_graph(g_dev)
+    assert g_dev.n_e > 2
+    _graphs_isomorphic(g_np, g_dev)
+
+
+def test_device_build_circular_genome():
+    """A circular chromosome yields a pure-cycle unitig (the cycle-break
+    path)."""
+    g_np, g_dev = _build_both(31, 3_000, circular=True)
+    check_graph(g_dev)
+    _graphs_isomorphic(g_np, g_dev)

@@ -128,7 +128,8 @@ def _pointer_double_to_head(prev: np.ndarray):
             active = active[~is_head[anc[active]]]
         if not len(active):
             return anc, dist
-        # cycles: find min element of each cycle, make it a head
+        # cycles: break at the minimum element (rc-consistent breaks are
+        # applied by the caller, which knows the rc pairing)
         cyc = active
         val = idx.copy()
         nxt = prev.copy()
@@ -139,6 +140,42 @@ def _pointer_double_to_head(prev: np.ndarray):
         prev = prev.copy()
         prev[reps] = -1
     raise AssertionError("pointer doubling failed to converge")
+
+
+def rc_consistent_cycle_heads(prev_ptr: np.ndarray, cyc: np.ndarray,
+                              n: int) -> np.ndarray:
+    """Heads for pure cycles such that fw/rc cycle copies break at
+    mirrored adjacencies.
+
+    A circular unitig appears as two directed-kedge cycles (the fw copy
+    and its rc).  Breaking each at its own min element yields rc unitigs
+    that are *rotations* of each other, violating the graph invariant
+    source(rc(e)) == rc(target(e)).  Fix: key every incoming adjacency
+    (prev(d) -> d) by min(enc(prev(d), d), enc(rc(d), rc(prev(d)))) —
+    invariant under the rc mirror — and break every cycle at its minimum
+    adjacency.  A palindromic self-rc cycle gets two breaks, producing a
+    valid rc pair of chains.
+
+    prev_ptr: (2n,) int; cyc: indices of on-cycle elements; n: #kedges
+    (directed ids [0,n) fw / [n,2n) rc).  Returns head indices."""
+    D = 2 * n
+    rcd = lambda d: np.where(d < n, d + n, d - n)
+    d = cyc.astype(np.int64)
+    p = prev_ptr[d].astype(np.int64)
+    e1 = p * D + d
+    e2 = rcd(d) * D + rcd(p)
+    key = np.minimum(e1, e2)
+    # min-doubling over each cycle
+    val = key.copy()
+    # local successor within the subset: map global prev -> subset slot
+    slot = np.full(D, -1, np.int64)
+    slot[d] = np.arange(len(d))
+    nxt = slot[prev_ptr[d]]
+    steps = max(1, int(np.ceil(np.log2(max(len(d), 2)))) + 1)
+    for _ in range(steps):
+        val = np.minimum(val, val[nxt])
+        nxt = nxt[nxt]
+    return d[key == val]
 
 
 def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> AsmGraph:
@@ -234,6 +271,12 @@ def build_graph_from_kedges(kedges: np.ndarray, counts: np.ndarray, k: int) -> A
     prev_ptr = np.where(prev_exists & (prv >= 0), prv, -1)
 
     head_of, dist = _pointer_double_to_head(prev_ptr)
+    # pure cycles (circular unitigs): re-break fw/rc copies consistently
+    cyc = np.flatnonzero(prev_ptr[head_of] >= 0)
+    if len(cyc):
+        prev_ptr = prev_ptr.copy()
+        prev_ptr[rc_consistent_cycle_heads(prev_ptr, cyc, n)] = -1
+        head_of, dist = _pointer_double_to_head(prev_ptr)
 
     # ------------------------------------------------------------------
     # unitig (edge) assembly

@@ -1,0 +1,388 @@
+"""Mega-batch sort-based canonical (k+1)-mer counting — the TPU hot path.
+
+Replaces the scatter-probe hash engine (ops/devhash.py) for bulk
+counting.  Measured on the v5e rig (round 2): `lax.sort` streams
+~160M rows/s on 3-limb keys while random gather/scatter sustains only
+~100-130M accesses/s, and the host link runs ~450 MB/s when driven by
+2+ concurrent transfer threads — so the fastest exact counter is:
+
+  1. ship raw base matrices H2D with a small thread pool (no host
+     packing: the link is faster than numpy's bit-packing),
+  2. per chunk, one fused dispatch extracts every canonical (k+1)-mer
+     window (ops/kmers.py) into flat limb columns,
+  3. ONE device sort of all lanes by the limb columns
+     (`lax.sort(num_keys=nl)`), then a run-length pass whose
+     boundary-compaction is a second single-key sort of
+     `(is_boundary, lane_index)` packed into one uint32 — avoiding any
+     full-width scatter stream,
+  4. unique keys gathered at the boundary positions.
+
+This is the TPU translation of KMC's sort-and-merge posture
+(reference include/kmc_skipping.h:8-11; the external counter the
+reference shells out to) rather than kmhash's CAS probing
+(src/kmhash.c:204-222) — sorting is the faster primitive on this
+hardware.  Streams larger than one mega-chunk are handled LSM-style:
+each chunk is sorted+deduped on device and unique runs are merged by
+concat + re-sort with counts carried as payload (KMC's k-way merge,
+src/KMC_reader.c:204-256, collapsed to log2 levels).
+
+Sentinel convention: invalid lanes carry all-0xFFFFFFFF limbs and sort
+to the tail.  When 2*(k+1) is a multiple of 32 a real all-T key is
+bit-identical to the sentinel, so an explicit validity column joins the
+sort keys in exactly that case.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kmers as km
+from ..ops import limbs as lb
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _needs_validity_key(k1: int) -> bool:
+    """True when the all-T (k+1)-mer is bit-identical to the sentinel."""
+    return (2 * k1) % 32 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("k1",))
+def _extract_chunk(bases, lengths, k1: int):
+    """One read chunk -> flat limb columns with invalid lanes sentinelled.
+
+    bases: (B, L) uint8 codes; lengths: (B,) int32.
+    Returns (cols tuple of nl (B*(L-k1+1),) uint32, n_valid ())."""
+    canon, _, valid = km.extract_canonical_kmers(bases, lengths, k1)
+    v = valid.reshape(-1)
+    cols = tuple(jnp.where(v, canon[..., l].reshape(-1), SENTINEL)
+                 for l in range(canon.shape[-1]))
+    return cols, jnp.sum(v.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("L", "k1"))
+def _extract_chunk_packed(packed, nmask, lengths, L: int, k1: int):
+    """Packed-transfer variant: unpack (2.25 bits/base, kmer/count.py
+    host_pack_reads) then extract — one fused dispatch."""
+    from .count import device_unpack_reads
+    bases = device_unpack_reads(packed, nmask, L)
+    return _extract_chunk(bases, lengths, k1)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "k1"),
+                   donate_argnums=(0,))
+def _sort_count(cols, n_valid, out_cap: int, k1: int):
+    """Sort flat limb columns and run-length count the unique keys.
+
+    cols: tuple of nl (M,) uint32 (invalid lanes = sentinel limbs);
+    n_valid: () int32 — number of valid lanes.
+    Returns (uniq (out_cap, nl) uint32 sentinel-padded, counts (out_cap,)
+    int32, n_unique ()).  n_unique > out_cap means overflow: the tail was
+    dropped and the caller must re-run with a larger out_cap.
+    """
+    nl = len(cols)
+    M = cols[0].shape[0]
+    if _needs_validity_key(k1):
+        # all-T key == sentinel: an explicit validity column breaks the tie
+        # (valid lanes first among equal limbs, so lanes [0, n_valid) are
+        # exactly the valid ones)
+        inval = (cols[0] == SENTINEL)
+        for l in range(1, nl):
+            inval = inval & (cols[l] == SENTINEL)
+        # NOTE: a valid all-T lane also matches; recompute validity the
+        # honest way costs nothing — callers pass n_valid from extraction
+        # and the sort key only needs *some* total order with valid-first.
+        s = jax.lax.sort(tuple(cols) + (inval.astype(jnp.uint32),),
+                         num_keys=nl + 1)
+        slimbs = s[:-1]
+    else:
+        slimbs = jax.lax.sort(tuple(cols), num_keys=nl)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    neq = jnp.zeros((M - 1,), bool)
+    for l in range(nl):
+        neq = neq | (slimbs[l][1:] != slimbs[l][:-1])
+    new = jnp.concatenate([jnp.ones((1,), bool), neq]) & (idx < n_valid)
+    n_unique = jnp.sum(new.astype(jnp.int32))
+    # boundary compaction WITHOUT a full-width scatter: one single-key
+    # sort of (~new, lane index) packed in a uint32 puts boundary lane
+    # indices, ascending, at the front.  Requires M < 2^31.
+    key2 = jnp.where(new, idx.astype(jnp.uint32),
+                     jnp.uint32(0x80000000) | idx.astype(jnp.uint32))
+    (s2,) = jax.lax.sort((key2,), num_keys=1)
+    oc = min(out_cap, M)                     # lanes bound uniques
+    oidx = jnp.arange(oc, dtype=jnp.int32)
+    live = oidx < n_unique
+    pos = jnp.where(live, (s2[:oc] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32),
+                    n_valid)
+    pos_ext = jnp.concatenate([pos, n_valid[None]])
+    nxt = jnp.where(oidx + 1 < n_unique, pos_ext[1:], n_valid)
+    counts = nxt - pos
+    gpos = jnp.minimum(pos, M - 1)
+    uniq = jnp.stack([jnp.where(live, jnp.take(slimbs[l], gpos), SENTINEL)
+                      for l in range(nl)], axis=1)
+    counts = jnp.where(live, counts, 0)
+    if oc < out_cap:
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((out_cap - oc, nl), SENTINEL, jnp.uint32)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((out_cap - oc,), counts.dtype)])
+    return uniq, counts, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",),
+                   donate_argnums=(0, 1, 2, 3))
+def _merge_unique_runs(ka, ca, kb, cb, out_cap: int):
+    """Merge two sorted unique (keys, counts) runs by concat + re-sort.
+
+    ka: (A, nl) uint32 sentinel-padded, ca: (A,) int32; kb/cb likewise.
+    Sentinel rows sort to the tail (counts 0).  Equal keys appear at most
+    twice; counts are summed with a shifted-equality pass (no scatter).
+    Returns (keys (out_cap, nl), counts (out_cap,), n_unique ()).
+    """
+    nl = ka.shape[1]
+    cols = tuple(jnp.concatenate([ka[:, l], kb[:, l]]) for l in range(nl))
+    w = jnp.concatenate([ca, cb])
+    s = jax.lax.sort(cols + (w,), num_keys=nl)
+    slimbs, sw = s[:-1], s[-1]
+    M = sw.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    eq_prev = jnp.ones((M - 1,), bool)
+    for l in range(nl):
+        eq_prev = eq_prev & (slimbs[l][1:] == slimbs[l][:-1])
+    live_row = slimbs[0] != SENTINEL
+    for l in range(1, nl):
+        live_row = live_row | (slimbs[l] != SENTINEL)
+    # NOTE: all-T == sentinel ambiguity: counts of a real sentinel-valued
+    # key survive because live_row uses counts too
+    live_row = live_row | (sw > 0)
+    new = jnp.concatenate([jnp.ones((1,), bool), ~eq_prev]) & live_row
+    n_unique = jnp.sum(new.astype(jnp.int32))
+    # each unique key spans at most 2 rows; sum = own + next row if equal
+    w_next = jnp.concatenate([sw[1:], jnp.zeros((1,), sw.dtype)])
+    eq_next = jnp.concatenate([eq_prev, jnp.zeros((1,), bool)])
+    csum = sw + jnp.where(eq_next, w_next, 0)
+    key2 = jnp.where(new, idx.astype(jnp.uint32),
+                     jnp.uint32(0x80000000) | idx.astype(jnp.uint32))
+    (s2,) = jax.lax.sort((key2,), num_keys=1)
+    oc = min(out_cap, M)
+    oidx = jnp.arange(oc, dtype=jnp.int32)
+    live = oidx < n_unique
+    pos = jnp.minimum((s2[:oc] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32),
+                      M - 1)
+    uniq = jnp.stack([jnp.where(live, jnp.take(slimbs[l], pos), SENTINEL)
+                      for l in range(nl)], axis=1)
+    counts = jnp.where(live, jnp.take(csum, pos), 0)
+    if oc < out_cap:
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((out_cap - oc, nl), SENTINEL, jnp.uint32)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((out_cap - oc,), counts.dtype)])
+    return uniq, counts, n_unique
+
+
+def ship_chunks(reads: np.ndarray, lengths: np.ndarray, chunk: int,
+                threads: int = 8, mode: str | None = None) -> List[tuple]:
+    """Threaded H2D of read chunks, tail zero-padded.
+
+    mode "packed" bit-packs to ~2.25 bits/base in the transfer threads
+    (numpy releases the GIL); mode "raw" ships uint8 bases.  The tunnel's
+    throughput swings 30-450 MB/s between sessions, so packed is the
+    safe default — raw only wins when the link is fast AND host CPU is
+    scarce (TA_SHIP=raw)."""
+    if mode is None:
+        mode = os.environ.get("TA_SHIP", "packed")
+    n = len(reads)
+    n_chunks = max(1, (n + chunk - 1) // chunk)
+    L = reads.shape[1]
+
+    def put(i):
+        rb = reads[i * chunk:(i + 1) * chunk]
+        lv = lengths[i * chunk:(i + 1) * chunk]
+        if len(rb) < chunk:
+            pad = chunk - len(rb)
+            rb = np.concatenate([rb, np.full((pad, L), 255, np.uint8)])
+            lv = np.concatenate([lv, np.zeros(pad, np.int32)])
+        lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
+        if mode == "packed":
+            from .count import host_pack_reads
+            p, m = host_pack_reads(np.ascontiguousarray(rb))
+            return ("packed", jax.device_put(p), jax.device_put(m), lv_d, L)
+        return ("raw", jax.device_put(np.ascontiguousarray(rb)), lv_d)
+
+    with ThreadPoolExecutor(min(threads, n_chunks)) as ex:
+        return list(ex.map(put, range(n_chunks)))
+
+
+def extract_shipped(chunk_rec, k1: int):
+    """Dispatch the extraction matching a ship_chunks record."""
+    if chunk_rec[0] == "packed":
+        _, p, m, lv, L = chunk_rec
+        return _extract_chunk_packed(p, m, lv, L, k1)
+    _, bases_d, lens_d = chunk_rec
+    return _extract_chunk(bases_d, lens_d, k1)
+
+
+def count_reads_device(
+    reads: np.ndarray, lengths: np.ndarray, k: int, *,
+    chunk_reads: int = 65536, threads: int = 8,
+    out_cap_log2: int | None = None,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Count canonical (k+1)-mers of a read matrix, results staying on
+    device.  Returns (uniq (out_cap, nl) uint32 sorted unique sentinel-
+    padded, counts (out_cap,) int32, n_unique int).
+
+    The whole matrix is shipped and counted as one mega-batch; callers
+    with larger-than-HBM streams use count_kedges_megasort."""
+    k1 = k + 1
+    if out_cap_log2 is None:
+        out_cap_log2 = int(os.environ.get("TA_SORT_OUT_LOG2", 22))
+    chunks = ship_chunks(reads, lengths, chunk_reads, threads)
+
+    def extract_all():
+        cols_acc: List[List[jax.Array]] = [[] for _ in range(lb.n_limbs(k1))]
+        n_valid = jnp.zeros((), jnp.int32)
+        for rec in chunks:
+            cols, nv = extract_shipped(rec, k1)
+            for l, c in enumerate(cols):
+                cols_acc[l].append(c)
+            n_valid = n_valid + nv
+        return tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
+                     for c in cols_acc), n_valid
+
+    while True:
+        catted, n_valid = extract_all()
+        uniq, counts, n_unique = _sort_count(catted, n_valid,
+                                             1 << out_cap_log2, k1)
+        n = int(n_unique)
+        if n <= (1 << out_cap_log2):
+            return uniq, counts, n
+        # overflow: retry with doubled capacity (keys were donated above)
+        out_cap_log2 += 1
+
+
+def pull_rows(arr: jax.Array, n: int, threads: int = 4) -> np.ndarray:
+    """D2H of arr[:n] using parallel slice pulls (the link parallelizes)."""
+    if n == 0:
+        return np.asarray(arr[:0])
+    n_t = min(threads, max(1, n // 262144))
+    if n_t <= 1:
+        return np.asarray(arr[:n])
+    bounds = np.linspace(0, n, n_t + 1).astype(np.int64)
+    views = [arr[bounds[i]:bounds[i + 1]] for i in range(n_t)]
+    for v in views:
+        jax.block_until_ready(v)
+    out = [None] * n_t
+    def pull(i):
+        out[i] = np.asarray(views[i])
+    with ThreadPoolExecutor(n_t) as ex:
+        list(ex.map(pull, range(n_t)))
+    return np.concatenate(out, axis=0)
+
+
+def count_kedges_megasort(
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]], k: int,
+    min_count: int = 1, *, max_lanes: int | None = None,
+    out_cap_log2: int | None = None, threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Streaming host API over (bases, lengths) batches: mega-chunks are
+    sorted+deduped on device; unique runs merge LSM-style.  Returns host
+    (kedges (n, nl) uint32 sorted unique, counts (n,) int64) with
+    count >= min_count."""
+    k1 = k + 1
+    nl = lb.n_limbs(k1)
+    if out_cap_log2 is None:
+        out_cap_log2 = int(os.environ.get("TA_SORT_OUT_LOG2", 22))
+    if max_lanes is None:
+        max_lanes = int(os.environ.get("TA_SORT_MAX_LANES", 64 << 20))
+    out_cap = 1 << out_cap_log2
+
+    table = None  # (keys, counts) merged unique run
+    table_n = 0
+    cols_acc: List[List[jax.Array]] = [[] for _ in range(nl)]
+    n_valid = jnp.zeros((), jnp.int32)
+    lanes = 0
+
+    def flush():
+        nonlocal table, table_n, cols_acc, n_valid, lanes
+        if lanes == 0:
+            return
+        catted = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
+                       for c in cols_acc)
+        # uniques never exceed the lane count — small jobs get small buffers
+        cap = min(out_cap, 1 << max(int(lanes - 1).bit_length(), 10))
+        uniq, counts, n_unique = _sort_count(catted, n_valid, cap, k1)
+        n_u = int(n_unique)
+        if n_u > cap:
+            raise RuntimeError(
+                f"megasort overflow: {n_u} unique > {cap}; "
+                f"raise TA_SORT_OUT_LOG2")
+        if table is None:
+            table = (uniq, counts)
+            table_n = n_u
+        else:
+            mcap = min(out_cap,
+                       1 << max(int(table_n + n_u - 1).bit_length(), 10))
+            mk, mc, mn = _merge_unique_runs(table[0], table[1], uniq, counts,
+                                            mcap)
+            if int(mn) > mcap:
+                raise RuntimeError(
+                    f"megasort merge overflow: {int(mn)} unique > {mcap}; "
+                    f"raise TA_SORT_OUT_LOG2")
+            table = (mk, mc)
+            table_n = int(mn)
+        cols_acc = [[] for _ in range(nl)]
+        n_valid = jnp.zeros((), jnp.int32)
+        lanes = 0
+
+    mode = os.environ.get("TA_SHIP", "packed")
+
+    def ship(b, l):
+        l = np.ascontiguousarray(l.astype(np.int32))
+        lv_d = jax.device_put(l)
+        if mode == "packed":
+            from .count import host_pack_reads
+            p, m = host_pack_reads(np.ascontiguousarray(b))
+            return ("packed", jax.device_put(p), jax.device_put(m), lv_d,
+                    b.shape[1])
+        return ("raw", jax.device_put(np.ascontiguousarray(b)), lv_d)
+
+    from collections import deque
+    with ThreadPoolExecutor(threads) as ex:
+        futs: deque = deque()
+        it = iter(batches)
+        done = False
+        while futs or not done:
+            while not done and len(futs) < 2 * threads:
+                try:
+                    bases, lengths = next(it)
+                except StopIteration:
+                    done = True
+                    break
+                futs.append(ex.submit(ship, bases, lengths))
+            if not futs:
+                break
+            cols, nv = extract_shipped(futs.popleft().result(), k1)
+            for l, c in enumerate(cols):
+                cols_acc[l].append(c)
+            n_valid = n_valid + nv
+            lanes += cols[0].shape[0]
+            if lanes >= max_lanes:
+                flush()
+    flush()
+    if table is None:
+        return np.zeros((0, nl), np.uint32), np.zeros(0, np.int64)
+    keys_d, counts_d = table
+    n = table_n
+    keys = pull_rows(keys_d, n, threads=4)
+    counts = pull_rows(counts_d, n, threads=4).astype(np.int64)
+    if min_count > 1 and len(counts):
+        keep = counts >= min_count
+        keys, counts = keys[keep], counts[keep]
+    return keys, counts
