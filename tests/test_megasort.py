@@ -166,3 +166,20 @@ def test_device_build_circular_genome():
     g_np, g_dev = _build_both(31, 3_000, circular=True)
     check_graph(g_dev)
     _graphs_isomorphic(g_np, g_dev)
+
+
+def test_device_build_large_rank_depth():
+    """Genome big enough that D >= 2^16 exercises the deep pointer-
+    doubling rounds of device_build._rank_chains."""
+    g_np, g_dev = _build_both(41, 40_000, coverage=6, k=21, read_len=100)
+    check_graph(g_dev)
+    _graphs_isomorphic(g_np, g_dev)
+
+
+def test_device_build_large_circular():
+    """Large circular chromosome: cycle detection + break + re-rank at
+    D >= 2^16 must still match the oracle."""
+    g_np, g_dev = _build_both(42, 40_000, coverage=6, k=21, read_len=100,
+                              circular=True)
+    check_graph(g_dev)
+    _graphs_isomorphic(g_np, g_dev)

@@ -140,7 +140,15 @@ def _front(uniq, counts, n, k: int):
 
 
 def _rank_chains(prev_ptr):
-    """(head index, distance) per element via packed-row pointer doubling."""
+    """(head index, distance) per element via packed-row pointer doubling.
+
+    Wyllie's algorithm: ceil(log2 D)+1 rounds of ONE (D,2)-row gather
+    each (~230M rows/s measured on the v5e).  A two-level spine variant
+    (stop-set doubling to a static 1/16 sample, then ranking the compact
+    spine list) was built and measured SLOWER (0.67s vs 0.50s at D=4.2M,
+    round-2 notes) — the extra where/bit-decode per round costs more
+    than the rounds it saves, so the simple form stays.
+    """
     D = prev_ptr.shape[0]
     d_idx = jnp.arange(D, dtype=I32)
     anc = jnp.where(prev_ptr < 0, d_idx, prev_ptr)
@@ -274,6 +282,28 @@ def _assemble(uniq, counts, n, src_key, tgt_key, lastbase, head_of, dist,
             edge_rc, edge_source, edge_target)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "head_cap", "seq_cap"))
+def _build_all(uniq, counts, n, k: int, head_cap: int, seq_cap: int):
+    """front -> (conditional) cycle break -> assemble as ONE dispatch.
+
+    The tunnel charges ~tens of ms per dispatch and per host sync; the
+    split form paid four (front, n_cyc pull, cycle break, assemble).
+    The cycle break rides a lax.cond keyed on the device-side cycle
+    count, and every scalar output comes back in one stacked pull."""
+    (src_key, tgt_key, lastbase, prev_ptr, head_of, dist,
+     n_cyc) = _front(uniq, counts, n, k)
+    prev_ptr, head_of, dist = jax.lax.cond(
+        n_cyc > 0, lambda a, b: _break_cycles(a, b),
+        lambda a, b: (a, b, dist), prev_ptr, head_of)
+    out = _assemble(uniq, counts, n, src_key, tgt_key, lastbase,
+                    head_of, dist, k, head_cap, seq_cap)
+    (n_edges, total, n_v2, seq_packed, seq_len, ecount, edge_rc,
+     edge_source, edge_target) = out
+    scalars = jnp.stack([n_edges, total, n_v2])
+    return (scalars, seq_packed, seq_len, ecount, edge_rc, edge_source,
+            edge_target)
+
+
 def build_graph_on_device(uniq, counts, n: int, k: int, *,
                           head_cap: int | None = None) -> AsmGraph:
     """Device (kedges, counts) -> host AsmGraph, pulling only unitig-sized
@@ -291,36 +321,33 @@ def build_graph_on_device(uniq, counts, n: int, k: int, *,
         head_cap = int(os.environ.get("TA_BUILD_HEAD_LOG2", 16))
         head_cap = min(1 << head_cap, 2 * capK)
 
-    (src_key, tgt_key, lastbase, prev_ptr, head_of, dist,
-     n_cyc) = _front(uniq, counts, n_dev, k)
-    if int(n_cyc) > 0:
-        prev_ptr, head_of, dist = _break_cycles(prev_ptr, head_of)
-
     while True:
         seq_cap = 2 * capK + k * head_cap
         seq_cap = (seq_cap + 3) // 4 * 4
-        out = _assemble(uniq, counts, n_dev, src_key, tgt_key, lastbase,
-                        head_of, dist, k, head_cap, seq_cap)
-        n_e = int(out[0])
+        out = _build_all(uniq, counts, n_dev, k, head_cap, seq_cap)
+        scalars = np.asarray(out[0])          # one sync for all three
+        n_e = int(scalars[0])
         if n_e <= head_cap:
             break
         head_cap = min(2 * head_cap, 2 * capK)
         if head_cap >= 2 * capK and n_e > head_cap:
             raise RuntimeError("unitig count exceeds 2x k-edge count")
 
-    (_, total_d, n_v_d, seq_packed, seq_len, ecount, edge_rc,
+    (_, seq_packed, seq_len, ecount, edge_rc,
      edge_source, edge_target) = out
-    total = int(total_d)
-    n_v = int(n_v_d)
+    total = int(scalars[1])
+    n_v = int(scalars[2])
 
     ecap = max(n_e, 1)
-    seq_len_h = np.asarray(seq_len[:ecap]).astype(np.int64)
-    ecount_h = np.asarray(ecount[:ecap]).astype(np.int64)
-    edge_rc_h = np.asarray(edge_rc[:ecap]).astype(np.int64)
-    edge_source_h = np.asarray(edge_source[:ecap]).astype(np.int64)
-    edge_target_h = np.asarray(edge_target[:ecap]).astype(np.int64)
     nbytes = (total + 3) // 4
-    packed_h = np.asarray(seq_packed[:nbytes])
+    views = [seq_len[:ecap], ecount[:ecap], edge_rc[:ecap],
+             edge_source[:ecap], edge_target[:ecap], seq_packed[:nbytes]]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(3) as ex:
+        pulled = list(ex.map(np.asarray, views))
+    seq_len_h, ecount_h, edge_rc_h, edge_source_h, edge_target_h = (
+        a.astype(np.int64) for a in pulled[:5])
+    packed_h = pulled[5]
     shifts = np.arange(4, dtype=np.uint8) * 2
     seq_data = ((packed_h[:, None] >> shifts[None, :]) & 3).reshape(-1)[
         :total].astype(np.uint8)

@@ -32,10 +32,42 @@ from ..ops.merge import SENTINEL, DeviceCountAccumulator
 # and are unpacked by cheap vector ops on device.
 # ---------------------------------------------------------------------------
 
+def _load_native_pack():
+    """ctypes handle to the C++ packer (native/pack_kernels.cpp), or None."""
+    import ctypes
+    import os
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "libtapack.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ta_pack_reads.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                      u8p, u8p]
+        lib.ta_pack_reads.restype = None
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+_NATIVE_PACK = _load_native_pack()
+
+
 def host_pack_reads(bases: np.ndarray):
     """(B, L) uint8 codes (>=4 invalid/pad) -> (packed2 (B, ceil(L/4)),
     nmask (B, ceil(L/8)))."""
     B, L = bases.shape
+    if _NATIVE_PACK is not None and bases.flags.c_contiguous and B * L:
+        import ctypes
+        packed = np.empty((B, (L + 3) // 4), np.uint8)
+        nmask = np.empty((B, (L + 7) // 8), np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        _NATIVE_PACK.ta_pack_reads(
+            bases.ctypes.data_as(u8p), ctypes.c_int64(B), ctypes.c_int64(L),
+            packed.ctypes.data_as(u8p), nmask.ctypes.data_as(u8p))
+        return packed, nmask
     L4 = (L + 3) // 4 * 4
     L8 = (L + 7) // 8 * 8
     b = np.zeros((B, L4), np.uint8)

@@ -231,40 +231,116 @@ def extract_shipped(chunk_rec, k1: int):
 
 def count_reads_device(
     reads: np.ndarray, lengths: np.ndarray, k: int, *,
-    chunk_reads: int = 65536, threads: int = 8,
-    out_cap_log2: int | None = None,
+    chunk_reads: int = 131072, threads: int = 1,
+    out_cap_log2: int | None = None, flush_lanes: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Count canonical (k+1)-mers of a read matrix, results staying on
-    device.  Returns (uniq (out_cap, nl) uint32 sorted unique sentinel-
-    padded, counts (out_cap,) int32, n_unique int).
+    device.  Returns (uniq (cap, nl) uint32 sorted unique sentinel-
+    padded, counts (cap,) int32, n_unique int).
 
-    The whole matrix is shipped and counted as one mega-batch; callers
-    with larger-than-HBM streams use count_kedges_megasort."""
+    Pipelined: a background thread ships chunks over the tunnel
+    sequentially (puts serialize host-side; measured: 1 thread moves the
+    same bytes as 8) while the main thread dispatches extraction and,
+    every `flush_lanes` window lanes, a sort+RLE flush whose unique run
+    is LSM-merged into the running table — so nearly all device sort
+    work hides under the transfer wall.  Nothing syncs until the end:
+    per-flush overflow flags are pulled once, and the whole pass retries
+    with doubled capacity in the (rare) overflow case.
+
+    The whole matrix must fit HBM; larger-than-HBM streams use
+    count_kedges_megasort."""
     k1 = k + 1
+    nl = lb.n_limbs(k1)
     if out_cap_log2 is None:
         out_cap_log2 = int(os.environ.get("TA_SORT_OUT_LOG2", 22))
-    chunks = ship_chunks(reads, lengths, chunk_reads, threads)
+    if flush_lanes is None:
+        # 56M lanes/flush measured best at the 1M-read bench point:
+        # fewer, larger sorts beat more overlap (sorts already hide
+        # under the H2D wall; only the tail flush is exposed)
+        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 56 << 20))
 
-    def extract_all():
-        cols_acc: List[List[jax.Array]] = [[] for _ in range(lb.n_limbs(k1))]
-        n_valid = jnp.zeros((), jnp.int32)
-        for rec in chunks:
-            cols, nv = extract_shipped(rec, k1)
-            for l, c in enumerate(cols):
-                cols_acc[l].append(c)
-            n_valid = n_valid + nv
-        return tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
-                     for c in cols_acc), n_valid
+    n = len(reads)
+    n_chunks = max(1, (n + chunk_reads - 1) // chunk_reads)
+    L = reads.shape[1]
+    mode = os.environ.get("TA_SHIP", "packed")
 
-    while True:
-        catted, n_valid = extract_all()
-        uniq, counts, n_unique = _sort_count(catted, n_valid,
-                                             1 << out_cap_log2, k1)
-        n = int(n_unique)
-        if n <= (1 << out_cap_log2):
-            return uniq, counts, n
-        # overflow: retry with doubled capacity (keys were donated above)
-        out_cap_log2 += 1
+    def ship_one(i):
+        rb = reads[i * chunk_reads:(i + 1) * chunk_reads]
+        lv = lengths[i * chunk_reads:(i + 1) * chunk_reads]
+        if len(rb) < chunk_reads:
+            pad = chunk_reads - len(rb)
+            rb = np.concatenate([rb, np.full((pad, L), 255, np.uint8)])
+            lv = np.concatenate([lv, np.zeros(pad, np.int32)])
+        lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
+        if mode == "packed":
+            from .count import host_pack_reads
+            p, m = host_pack_reads(np.ascontiguousarray(rb))
+            return ("packed", jax.device_put(p), jax.device_put(m), lv_d, L)
+        return ("raw", jax.device_put(np.ascontiguousarray(rb)), lv_d)
+
+    chunks: List[tuple] = []          # retained for the overflow retry
+    with ThreadPoolExecutor(1) as ex:
+        futs = [ex.submit(ship_one, i) for i in range(n_chunks)]
+
+        def attempt(cap_log2: int) -> Tuple[jax.Array, jax.Array, int, bool]:
+            out_cap = 1 << cap_log2
+            cols_acc: List[List[jax.Array]] = [[] for _ in range(nl)]
+            n_valid = jnp.zeros((), jnp.int32)
+            lanes = 0
+            table = None              # (keys, counts) running unique run
+            checks: List[Tuple[jax.Array, int]] = []   # (n_unique, cap)
+
+            def flush():
+                nonlocal cols_acc, n_valid, lanes, table
+                if lanes == 0:
+                    return
+                catted = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
+                               for c in cols_acc)
+                cap = min(out_cap, 1 << max(int(lanes - 1).bit_length(), 10))
+                uniq, counts, n_u = _sort_count(catted, n_valid, cap, k1)
+                checks.append((n_u, cap))
+                if table is None:
+                    table = (uniq, counts)
+                else:
+                    mcap = min(out_cap, 1 << (table[0].shape[0]
+                                              + uniq.shape[0] - 1).bit_length())
+                    mk, mc, mn = _merge_unique_runs(
+                        table[0], table[1], uniq, counts, mcap)
+                    checks.append((mn, mcap))
+                    table = (mk, mc)
+                cols_acc = [[] for _ in range(nl)]
+                n_valid = jnp.zeros((), jnp.int32)
+                lanes = 0
+
+            def feed(rec):
+                nonlocal lanes, n_valid
+                cols, nv = extract_shipped(rec, k1)
+                for l, c in enumerate(cols):
+                    cols_acc[l].append(c)
+                n_valid = n_valid + nv
+                lanes += cols[0].shape[0]
+                if lanes >= flush_lanes:
+                    flush()
+
+            if chunks:                # retry pass: everything already here
+                for rec in chunks:
+                    feed(rec)
+            else:
+                for f in futs:
+                    rec = f.result()
+                    chunks.append(rec)
+                    feed(rec)
+            flush()
+            # ONE sync for every deferred scalar
+            ns = np.asarray(jnp.stack([c[0] for c in checks]))
+            ok = all(int(nu) <= cap for nu, (_, cap) in zip(ns, checks))
+            return table[0], table[1], int(ns[-1]), ok
+
+        while True:
+            uniq, counts, n_u, ok = attempt(out_cap_log2)
+            if ok:
+                return uniq, counts, n_u
+            out_cap_log2 += 1
 
 
 def pull_rows(arr: jax.Array, n: int, threads: int = 4) -> np.ndarray:

@@ -249,22 +249,27 @@ def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
     slot = _fmix32(x) & mask
     stride = (_fmix32(x ^ jnp.uint32(0x27D4EB2F)) | jnp.uint32(1)) & mask
 
-    t_read = jnp.full((T,), -1, jnp.int32)
-    t_edge = jnp.full((T,), -1, jnp.int32)
+    # the slot's identity is ONE fused word — the claiming lane's index
+    # in [0, B*P) — so colliding claims in the same round can never
+    # produce a chimeric slot (a two-array claim could mix read from
+    # one key with edge from another, and that chimera can equal a REAL
+    # third pair, silently splitting its tally).  A lane's (read, edge)
+    # is recovered as (lane // P, hit_edge[lane]).
+    t_lane = jnp.full((T,), -1, jnp.int32)
+    lane_idx = jnp.arange(B * P, dtype=jnp.int32)
     active = hit_sing
     res_slot = jnp.full((B * P,), T, jnp.int32)
-    # claim/verify rounds: colliding claims race, losers fail the
-    # verify gather and re-probe (duplicate lanes of the SAME pair
-    # write identical values, so unique_indices stays safe)
     for _ in range(MAP_TALLY_PROBES):
         sl = slot.astype(jnp.int32)
-        cur_r = jnp.take(t_read, sl)
-        empty = cur_r < 0
+        cur = jnp.take(t_lane, sl)
+        empty = cur < 0
         wslot = jnp.where(active & empty, sl, T)
-        t_read = t_read.at[wslot].set(read_id, mode="drop", unique_indices=True)
-        t_edge = t_edge.at[wslot].set(hit_edge, mode="drop", unique_indices=True)
-        mine = active & (jnp.take(t_read, sl) == read_id) & \
-            (jnp.take(t_edge, sl) == hit_edge)
+        t_lane = t_lane.at[wslot].set(lane_idx, mode="drop",
+                                      unique_indices=True)
+        cur = jnp.take(t_lane, sl)
+        curp = jnp.maximum(cur, 0)
+        mine = active & (cur >= 0) & (curp // P == read_id) & \
+            (jnp.take(hit_edge, curp) == hit_edge)
         res_slot = jnp.where(mine, sl, res_slot)
         active = active & ~mine
         slot = (slot + stride) & mask
@@ -273,7 +278,10 @@ def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
     start_t = jnp.full((T,), jnp.int32(1 << 30)).at[res_slot].min(
         start_est, mode="drop")
 
-    live = t_read >= 0
+    live = t_lane >= 0
+    t_lanep = jnp.maximum(t_lane, 0)
+    t_read = jnp.where(live, t_lanep // P, -1)
+    t_edge = jnp.where(live, jnp.take(hit_edge, t_lanep), -1)
     r = jnp.where(live, t_read, B)
     best = jnp.zeros((B + 1,), jnp.int32).at[r].max(counts_t, mode="drop")
     is_eq = live & (counts_t > 0) & (counts_t == jnp.take(best, r))

@@ -8,12 +8,18 @@ reference's kmhash, src/kmhash.c, with its CAS loop replaced by
 scatter-claim / gather-verify rounds), engineered to minimize random
 accesses per lane:
 
-  - identity is a 64-bit FINGERPRINT (2 x uint32 independent hashes);
-    the k-mer limbs are a PAYLOAD written once per unique key at claim
-    time, not touched by repeat lanes.  A false merge needs equal slot
-    AND equal 64-bit fingerprint (~1e-4 expected per 50M-k-mer dataset)
-    — the same guarantee class as the reference's 64-bit MurmurHash
-    span-k-mer table (src/build_hash_table.c:78-101).
+  - identity is EXACT: a lane merges into a slot only when the slot's
+    full payload (every k-mer limb) equals its own key; the 64-bit
+    fingerprint (2 x uint32 independent hashes) is a fast pre-filter
+    written at claim time.  Verifying the payload (not just the
+    fingerprint) also makes concurrent claims sound: when two
+    *different* keys claim one empty slot in the same round, each
+    fp/payload limb is written by an independent scatter with
+    duplicate indices (UB — the slot can come up a per-limb chimera),
+    but a chimeric slot matches no key's full payload, so every lane
+    simply probes on and the slot is dead weight (counts stay 0; the
+    finalize compaction drops it).  Exactness is *stronger* than the
+    reference's 64-bit-hash tables (src/build_hash_table.c:78-101).
   - after the first probe round (which resolves ~90%+ of lanes at
     sane load), unresolved lanes are dense-packed into a small buffer
     and the remaining rounds run on that buffer only.
@@ -48,10 +54,12 @@ def _probe_round(state):
     """One scatter-claim / gather-verify round over the lanes in `state`.
 
     state: ((fp0, fp1, payload), slot, stride, fpA, fpB, cols, resolved,
-    res_slot).  All claim writes use unique_indices=True: duplicate
-    indices only ever write IDENTICAL values (same key -> same slot,
-    fp, payload), and the unique hint keeps XLA from lowering the
-    scatter into a sort-based combiner (~30 ms/scatter otherwise).
+    res_slot).  Claim writes use unique_indices=True to keep XLA from
+    lowering the scatter into a sort-based combiner (~30 ms/scatter
+    otherwise); two different keys claiming one slot in the same round
+    are UB per limb (possible chimeric slot), which is sound because
+    verification below requires FULL payload equality — a chimera
+    matches nobody and the colliding lanes keep probing (module doc).
     Counts are NOT updated here — each lane records the slot it
     resolved at (res_slot) and one deferred scatter-add per lane set
     accumulates them.
@@ -68,10 +76,13 @@ def _probe_round(state):
     payload = [payload[l].at[wslot].set(cols[l], mode="drop",
                                         unique_indices=True)
                for l in range(len(payload))]
-    # verify (also detects the winner among colliding claims)
+    # verify (also detects the winner among colliding claims): fps are
+    # the cheap filter, full payload equality is the actual identity
     cur0 = jnp.take(fp0, sl)
     cur1 = jnp.take(fp1, sl)
     mine = (cur0 == fpA) & (cur1 == fpB) & ~resolved
+    for l in range(len(payload)):
+        mine = mine & (jnp.take(payload[l], sl) == cols[l])
     res_slot = jnp.where(mine, sl, res_slot)
     resolved = resolved | mine
     slot = (slot + stride) & mask
@@ -117,6 +128,8 @@ def _insert_body(keys, counts, kmers, valid, cap_frac: int):
     cur0 = jnp.take(fp0, sl)
     cur1 = jnp.take(fp1, sl)
     mine0 = (cur0 == fpA) & (cur1 == fpB) & valid
+    for l in range(nl):
+        mine0 = mine0 & (jnp.take(payload[l], sl) == kmers[:, l])
     counts = counts.at[jnp.where(mine0, sl, C)].add(1, mode="drop")
 
     # compact the misses: payload limbs only
