@@ -54,6 +54,49 @@ def test_megasort_streaming_flushes_merge():
     assert np.array_equal(cn.astype(np.int64), cm.astype(np.int64))
 
 
+def test_megasort_spill_byte_identical(tmp_path, monkeypatch):
+    """Tiny device/host budgets force device->host run spills AND
+    host->disk spills with the external k-way merge; results must be
+    byte-identical to the all-in-memory path (the -sm posture,
+    reference src/main.c:234-236 + sort_read.c:567-658)."""
+    import os
+    genome = tt.random_genome(20_000, seed=9)
+    reads, lengths = tt.sim_reads(genome, coverage=8, read_len=100, seed=10,
+                                  error_rate=0.005)
+    k = 31
+    ref_k, ref_c = count_kedges_megasort(_batches(reads, lengths, 512), k,
+                                         max_lanes=1 << 15, min_count=2)
+    spill = tmp_path / "spill"
+    monkeypatch.setenv("TA_SORT_DEVICE_LANES", "4096")
+    monkeypatch.setenv("TA_SORT_HOST_MB", "0.05")     # ~50 KB -> disk
+    monkeypatch.setenv("TA_SPILL_DIR", str(spill))
+    got_k, got_c = count_kedges_megasort(_batches(reads, lengths, 512), k,
+                                         max_lanes=1 << 15, min_count=2)
+    assert any(f.startswith("count_run") for f in os.listdir(spill)), \
+        "expected disk-spilled runs"
+    np.testing.assert_array_equal(np.asarray(got_k), ref_k)
+    np.testing.assert_array_equal(np.asarray(got_c, np.int64), ref_c)
+
+
+def test_external_merge_oracle():
+    """np_external_merge_runs vs np_merge_count_runs on random runs,
+    with slice boundaries forced tiny so many pivot cuts happen."""
+    from turingassembler_tpu.ops.sortops import (np_external_merge_runs,
+                                                 np_merge_count_runs)
+    rng = np.random.default_rng(11)
+    runs = []
+    for _ in range(5):
+        n = int(rng.integers(50, 400))
+        keys = rng.integers(0, 50, (n, 2)).astype(np.uint32)
+        keys = np.unique(keys, axis=0)
+        counts = rng.integers(1, 9, len(keys)).astype(np.int64)
+        runs.append((keys, counts))
+    want = np_merge_count_runs(runs)
+    got = np_external_merge_runs(runs, chunk_rows=37)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
 def test_megasort_min_count():
     genome = tt.random_genome(5_000, seed=9)
     reads, lengths = tt.sim_reads(genome, coverage=6, read_len=90, seed=10,

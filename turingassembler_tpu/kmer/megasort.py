@@ -379,11 +379,49 @@ def count_kedges_megasort(
         max_lanes = int(os.environ.get("TA_SORT_MAX_LANES", 64 << 20))
     out_cap = 1 << out_cap_log2
 
+    # out-of-core knobs (the -sm posture, reference src/main.c:234-236):
+    # TA_SORT_DEVICE_LANES caps the DEVICE table — beyond it the merged
+    # run is pulled to host; TA_SORT_HOST_MB caps host RAM — beyond it
+    # runs spill to disk under TA_SPILL_DIR and the final merge is the
+    # bounded-memory external k-way (ops/sortops.np_external_merge_runs)
+    device_lanes = int(os.environ.get("TA_SORT_DEVICE_LANES", 0))
+    host_mb = float(os.environ.get("TA_SORT_HOST_MB", 0))
+    spill_dir = os.environ.get("TA_SPILL_DIR") or None
+    host_runs: List[tuple] = []
+    host_bytes = 0
+    any_disk = False
+
     table = None  # (keys, counts) merged unique run
     table_n = 0
     cols_acc: List[List[jax.Array]] = [[] for _ in range(nl)]
     n_valid = jnp.zeros((), jnp.int32)
     lanes = 0
+
+    def spill_table():
+        nonlocal table, table_n, host_bytes, any_disk
+        if table is None or table_n == 0:
+            table = None
+            table_n = 0
+            return
+        k_h = pull_rows(table[0], table_n, threads=4)
+        c_h = pull_rows(table[1], table_n, threads=4).astype(np.int64)
+        table = None
+        table_n = 0
+        nb = k_h.nbytes + c_h.nbytes
+        if host_mb and spill_dir and (host_bytes + nb) > host_mb * 1e6:
+            os.makedirs(spill_dir, exist_ok=True)
+            i = len(host_runs)
+            kp = os.path.join(spill_dir, f"count_run{i}_keys.npy")
+            cp = os.path.join(spill_dir, f"count_run{i}_counts.npy")
+            np.save(kp, k_h)
+            np.save(cp, c_h)
+            del k_h, c_h
+            host_runs.append((np.load(kp, mmap_mode="r"),
+                              np.load(cp, mmap_mode="r")))
+            any_disk = True
+        else:
+            host_runs.append((k_h, c_h))
+            host_bytes += nb
 
     def flush():
         nonlocal table, table_n, cols_acc, n_valid, lanes
@@ -416,6 +454,8 @@ def count_kedges_megasort(
         cols_acc = [[] for _ in range(nl)]
         n_valid = jnp.zeros((), jnp.int32)
         lanes = 0
+        if device_lanes and table_n >= device_lanes:
+            spill_table()
 
     mode = os.environ.get("TA_SHIP", "packed")
 
@@ -452,6 +492,13 @@ def count_kedges_megasort(
             if lanes >= max_lanes:
                 flush()
     flush()
+    if host_runs:
+        # spilled mode: fold the final device table in and k-way merge
+        spill_table()
+        from ..ops.sortops import np_external_merge_runs
+        return np_external_merge_runs(
+            host_runs, min_count=min_count,
+            out_dir=spill_dir if any_disk else None)
     if table is None:
         return np.zeros((0, nl), np.uint32), np.zeros(0, np.int64)
     keys_d, counts_d = table

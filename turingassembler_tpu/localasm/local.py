@@ -5,10 +5,13 @@ Rebuilds (reference files):
                             barcode is in the union of the two flanks'
                             lvl-1 barcode sets
   build_local_assembly_graph kmer_build.c:991 — DBG at lk=31 over those
-                            reads (the reference also seeds "garbage"
-                            k-mers from the flanks to stabilize counts;
-                            we instead append the two flank sequences as
-                            pseudo-reads, which plays the same role)
+                            reads, plus "garbage" (k+1)-mers from the
+                            two flanking global edges at count 0
+                            (add_garbage, kmer_build.c:847-888) and
+                            flank count calibration: local edges sharing
+                            a (k+1)-mer with a flank get their count
+                            raised to the flank's global coverage
+                            (assign_count_garbage, kmer_build.c:890-926)
   find_match / map_contig.c — map a global contig into the local graph
                             by 100-mer window voting (WINDOW_SIZE=1000,
                             POINT_HIGH_THRESH=0.9, KSIZE=100)
@@ -98,40 +101,86 @@ def local_reads_for_pair(g: AsmGraph, rpath: ReadPath, bc_index,
     return bases, lengths, n1
 
 
+def _seq_canon_kedges(seq: np.ndarray, k1: int) -> np.ndarray:
+    """Canonical (k+1)-mer limb rows of a host 2-bit sequence — the
+    numpy twin of the reference's add_garbage walk (kmer_build.c:
+    847-888).  Rows are unique and lex-sorted."""
+    from ..ops import limbs as lb
+    n = len(seq) - k1 + 1
+    if n <= 0:
+        return np.zeros((0, lb.n_limbs(k1)), np.uint32)
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.ascontiguousarray(seq), k1)
+    rows = lb.np_pack_bases(win, k1)
+    rc = lb.np_revcomp_limbs_fast(rows, k1)
+    rows = np.where(lb.np_lex_lt(rc, rows)[:, None], rc, rows)
+    order = lb.np_lexsort_rows(rows)
+    rows = rows[order]
+    keep = np.ones(len(rows), bool)
+    keep[1:] = np.any(rows[1:] != rows[:-1], axis=1)
+    return np.ascontiguousarray(rows[keep])
+
+
+def _calibrate_flank_counts(lg: AsmGraph, g: AsmGraph, lk: int,
+                            flank_edges) -> None:
+    """assign_count_garbage (kmer_build.c:890-926): every local edge
+    sharing a (k+1)-mer with a flanking global edge whose coverage is
+    below that flank's global coverage gets count = old_cov *
+    (seq_len - lk) on itself and its rc twin — the flank path through
+    the local graph must not look low-coverage just because the
+    barcode-filtered read subset thins out near the gap."""
+    k1 = lk + 1
+    by_edge = [
+        {row.tobytes() for row in _seq_canon_kedges(lg.get_seq(le), k1)}
+        for le in range(lg.n_e)]
+    for ge in flank_edges:
+        old_cov = float(g.edge_cov(ge))
+        fset = {row.tobytes() for row in _seq_canon_kedges(g.get_seq(ge), k1)}
+        for le in range(lg.n_e):
+            if by_edge[le] and not by_edge[le].isdisjoint(fset):
+                if float(lg.edge_cov(le)) < old_cov:
+                    cnt = int(old_cov * max(lg.edge_len(le) - lk, 1))
+                    lg.edge_count[le] = cnt
+                    lg.edge_count[int(lg.edge_rc[le])] = cnt
+
+
 def build_local_graph(cfg: Config, g: AsmGraph, rpath: ReadPath, bc_index,
                       e1: int, e2: int) -> Optional[AsmGraph]:
-    """Local DBG at lk over barcode-selected reads + flank pseudo-reads."""
+    """Local DBG at lk over barcode-selected reads + flank garbage
+    k-mers + flank count calibration (build_local_assembly_graph,
+    kmer_build.c:991-1044)."""
     lk = cfg.lk
     got = local_reads_for_pair(g, rpath, bc_index, e1, e2)
     if got is None:
         return None
     bases, lengths, _ = got
-    # flank pseudo-reads (replaces the reference's add_garbage flank
-    # k-mers, kmer_build.c:847-926): tail of e1 and head of e2
-    flank_len = 3000
-    flanks = []
-    s1 = g.get_seq(e1)
-    s2 = g.get_seq(e2)
-    flanks.append(s1[-flank_len:])
-    flanks.append(s2[:flank_len])
-    L = max(bases.shape[1], max(len(f) for f in flanks))
-    if L > bases.shape[1]:
-        pad = np.full((len(bases), L - bases.shape[1]), 255, np.uint8)
-        bases = np.concatenate([bases, pad], axis=1)
-    fl = np.full((len(flanks), L), 255, np.uint8)
-    fllen = np.zeros(len(flanks), np.int32)
-    for i, f in enumerate(flanks):
-        fl[i, : len(f)] = f
-        fllen[i] = len(f)
-    bases = np.concatenate([bases, fl])
-    lengths = np.concatenate([lengths, fllen])
 
     # local jobs are tiny: host merge beats device LSM regardless of backend
     kedges, counts = count_kedges_from_reads(bases, lengths, lk,
                                              batch_size=4096, engine="np")
     if len(kedges) == 0:
         return None
+
+    # garbage (k+1)-mers from the two WHOLE flanking global edges at
+    # count 0 (reference add_garbage inserts structure only; counts come
+    # from reads + the calibration below)
+    from ..ops import limbs as lb
+    fked = np.vstack([_seq_canon_kedges(g.get_seq(e1), lk + 1),
+                      _seq_canon_kedges(g.get_seq(e2), lk + 1)])
+    if len(fked):
+        rows = np.vstack([kedges, fked])
+        cnts = np.concatenate(
+            [counts, np.zeros(len(fked), counts.dtype)])
+        order = lb.np_lexsort_rows(rows)
+        rows, cnts = rows[order], cnts[order]
+        starts = np.ones(len(rows), bool)
+        starts[1:] = np.any(rows[1:] != rows[:-1], axis=1)
+        idx = np.flatnonzero(starts)
+        kedges = np.ascontiguousarray(rows[idx])
+        counts = np.add.reduceat(cnts, idx)
+
     lg = build_graph_from_kedges(kedges, counts, lk)
+    _calibrate_flank_counts(lg, g, lk, (e1, e2))
     lg = resolve_local_graph_operation(lg)
     return lg
 

@@ -84,6 +84,11 @@ def build_0(cfg: Config, out_dir: Optional[str] = None) -> AsmGraph:
     if not (cfg.files_1 or cfg.files_2):
         raise SystemExit("build_0: no input reads (use -1/-2)")
     t0 = time.time()
+    # -sm drives the counting memory budget (the reference hands it to
+    # KMC, src/main.c:234-236): beyond mmem_gb of host-resident count
+    # runs the megasort engine spills to disk and k-way merges
+    os.environ.setdefault("TA_SORT_HOST_MB", str(cfg.mmem_gb * 1024))
+    os.environ.setdefault("TA_SPILL_DIR", os.path.join(out_dir, "spill"))
     kedges, counts = count_kedges_from_batches(
         _genomic_batches(cfg), k, min_count=cfg.device.min_kmer_count)
     log.info("counted %d unique (k+1)-mers in %.1fs", len(kedges), time.time() - t0)
