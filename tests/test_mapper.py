@@ -194,3 +194,60 @@ def test_confidence_ratio_gate():
     lengths = np.array([L1 + L2], np.int32)
     edges, hits, starts = map_reads(idx, reads, lengths, batch_size=1)
     assert edges[0] == -1
+
+
+def test_rescore_fast_path_equals_dp_everywhere(monkeypatch):
+    """The gapless fast path must leave acceptance decisions exactly as
+    if the DP ran on every lane, including on reads with indels (which
+    fail the gapless bound and take the DP route)."""
+    import turingassembler_tpu.mapper.minimizers as mm
+
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    lens = g.edge_len()
+    eid = int(np.argmax(lens * g.alive_mask()))
+    eseq = g.get_seq(eid)
+    r = np.random.default_rng(7)
+    B, L = 128, 120
+    reads = np.full((B, L), 0, np.uint8)
+    lengths = np.full(B, L, np.int32)
+    for i in range(B):
+        s = int(r.integers(0, len(eseq) - L - 4))
+        frag = eseq[s : s + L + 4].copy()
+        # substitutions
+        nsub = int(r.integers(0, 4))
+        pos = r.integers(0, L, nsub)
+        frag[pos] = (frag[pos] + r.integers(1, 4, nsub)) % 4
+        if i % 3 == 0:       # 1-2 base deletion -> indel vs the edge
+            d = int(r.integers(1, 3))
+            p = int(r.integers(10, L - 10))
+            frag = np.concatenate([frag[:p], frag[p + d :]])
+        reads[i] = frag[:L]
+    edges, hits, starts = map_reads(idx, reads, lengths, batch_size=B)
+
+    acc_fast, sc_fast = mm.rescore_hits(g.seq_data, g.seq_off, edges,
+                                        starts, reads, lengths)
+
+    # force every lane through the DP by making the gapless bound
+    # unreachable (feasibility mask stays, threshold check fails)
+    import turingassembler_tpu.ops.dp as dp
+    real_scores = dp.affine_scores
+
+    def spy(*a, **kw):
+        spy.calls += 1
+        return real_scores(*a, **kw)
+
+    spy.calls = 0
+    monkeypatch.setattr(dp, "affine_scores", spy)
+    acc_dp, sc_dp = mm.rescore_hits(g.seq_data, g.seq_off, edges, starts,
+                                    reads, lengths,
+                                    min_score=np.full(B, 10**6))
+    # min_score=1e6 rejects everything; what we want is the DP scores
+    # it computed for every mapped lane
+    assert spy.calls == 1
+    mapped = edges >= 0
+    assert mapped.sum() > B // 2
+    # acceptance parity at the production threshold
+    assert np.array_equal(acc_fast[mapped], sc_dp[mapped] >= dp.MIN_MAP_SCORE)
+    # fast-path scores are valid lower bounds of the DP scores
+    assert (sc_fast[mapped] <= sc_dp[mapped]).all()

@@ -168,8 +168,12 @@ def score_paths(lg: AsmGraph, paths: List[List[int]], reads: np.ndarray,
     cand.node_rc = np.zeros(1, np.int64)
     idx = EdgeMinimizerIndex.build(cand)
     edges, hits, starts = map_reads(idx, reads, lengths)
+    # pass the per-lane full-length threshold so the gapless fast path
+    # inside rescore_hits is exact for THIS predicate (a fast-path lane
+    # reports a lower bound that already clears it)
     _, sc = rescore_hits(cand.seq_data, cand.seq_off, edges, starts,
-                         reads, lengths)
+                         reads, lengths,
+                         min_score=lengths.astype(np.int64) - FULL_LEN_SLACK)
     full = (edges >= 0) & (sc >= lengths - FULL_LEN_SLACK)
     path_id = np.where(full, edges // 2, -1)
     strand = edges % 2

@@ -306,7 +306,7 @@ RESCORE_PAD = 16   # target-window slack around the voted start
 def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
                  edges: np.ndarray, starts: np.ndarray,
                  bases: np.ndarray, lengths: np.ndarray,
-                 scoring=None, min_score: int | None = None,
+                 scoring=None, min_score=None,
                  pad: int = RESCORE_PAD):
     """Verify voted hits with the framework's single alignment DP.
 
@@ -319,8 +319,20 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
     penalizes the overhang — the analogue of asm_reg2aln's >=10-base
     clip rejection); score via ops/dp.py with BWA scoring.
 
+    min_score may be a scalar or an (N,) per-lane threshold (the bridge
+    path scorer thresholds at read_len - slack).  Acceptance is exact
+    either way: a lane whose GAPLESS alignment at the voted offset
+    already clears its threshold is accepted without running the DP
+    (a gapless alignment is feasible, so its score lower-bounds the DP
+    optimum); every other lane gets the full banded DP.  On clean
+    libraries the fast path resolves nearly every read, which removes
+    the DP from the aux-info/extension wall clock (the DP was ~75% of
+    mapping cost on the CPU backend).
+
     Returns (accept (N,) bool, scores (N,) int32); unmapped lanes are
-    False/0.
+    False/0.  Fast-path lanes report the gapless lower bound (>= their
+    threshold), DP lanes the exact score — every call site thresholds
+    at min_score, so the mix is observationally equivalent.
     """
     from ..ops import dp
     if scoring is None:
@@ -333,6 +345,9 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
     mapped = np.flatnonzero(edges >= 0)
     if len(mapped) == 0:
         return accept, scores
+    thr = (np.broadcast_to(np.asarray(min_score), (N,))[mapped]
+           if np.ndim(min_score) else
+           np.full(len(mapped), min_score))
     e = edges[mapped].astype(np.int64)
     qlen = lengths[mapped].astype(np.int64)
     elen = (seq_off[e + 1] - seq_off[e]).astype(np.int64)
@@ -344,19 +359,40 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
     inwin = np.arange(Lt)[None, :] < (w1 - w0)[:, None]
     t = np.where(inwin, seq_data[np.minimum(idx, len(seq_data) - 1)],
                  np.uint8(255))
-    # pad the lane count to a power-of-two bucket (static compile shapes)
-    B = dp.pad_pow2(len(mapped), lo=256)
+    qm = bases[mapped]
+
+    # gapless fast path at the voted offset d0 = s0 - w0 (feasible when
+    # the query fits the window with no indels)
+    mt, mm = int(scoring[0]), int(scoring[1])
+    d0 = s0 - w0
+    feas = (d0 + qlen) <= (w1 - w0)
+    gidx = np.minimum(d0[:, None] + np.arange(Lq)[None, :], Lt - 1)
+    tsh = np.take_along_axis(t, gidx, axis=1)
+    live = np.arange(Lq)[None, :] < qlen[:, None]
+    nmatch = ((qm == tsh) & live).sum(axis=1)
+    bound = (nmatch * mt + (qlen - nmatch) * mm).astype(np.int64)
+    fast = feas & (bound >= thr)
+    scores[mapped[fast]] = bound[fast].astype(np.int32)
+    accept[mapped[fast]] = True
+
+    rest = np.flatnonzero(~fast)
+    if len(rest) == 0:
+        return accept, scores
+    # full DP on the remainder; pad the lane count to a power-of-two
+    # bucket (static compile shapes)
+    B = dp.pad_pow2(len(rest), lo=256)
     q = np.full((B, Lq), 255, np.uint8)
-    q[: len(mapped)] = bases[mapped]
+    q[: len(rest)] = qm[rest]
     tb = np.full((B, Lt), 255, np.uint8)
-    tb[: len(mapped)] = t
+    tb[: len(rest)] = t[rest]
     ql = np.zeros(B, np.int32)
-    ql[: len(mapped)] = qlen
+    ql[: len(rest)] = qlen[rest]
     tl = np.zeros(B, np.int32)
-    tl[: len(mapped)] = (w1 - w0)
+    tl[: len(rest)] = (w1 - w0)[rest]
     sc = dp.affine_scores(q, ql, tb, tl, scoring, band=128, mode="fit")
-    scores[mapped] = sc[: len(mapped)]
-    accept[mapped] = scores[mapped] >= min_score
+    mr = mapped[rest]
+    scores[mr] = sc[: len(rest)]
+    accept[mr] = scores[mr] >= thr[rest]
     return accept, scores
 
 
