@@ -131,8 +131,10 @@ def test_sortless_tally_matches_sort_oracle():
                                  (idx.keys, idx.edge, idx.pos, idx.count))
     old = [np.asarray(x) for x in mm._map_batch_sort(
         reads, lengths, keys, edge, pos, count, idx.k, idx.w)]
+    lut, bits, iters = idx.lookup_tables()
     new = [np.asarray(x) for x in mm._map_batch(
-        reads, lengths, keys, edge, pos, count, idx.k, idx.w)]
+        reads, lengths, keys, edge, pos, count, jnp.asarray(lut),
+        idx.k, idx.w, bits, iters)]
     for a, b in zip(old, new):
         assert np.array_equal(a, b)
 

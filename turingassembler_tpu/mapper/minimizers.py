@@ -35,6 +35,11 @@ from ..ops import sortops as so
 MM_K = 17       # MINIMIZERS_KMER (reference src/attribute.h:21)
 MM_W = 17       # MINIMIZERS_WINDOW (reference src/attribute.h:20)
 NL = lb.n_limbs(MM_K)  # 2 limbs
+MM_CAP = 48     # singleton-lookup slots per read after lane compaction
+                # (a 150 bp read has ~2L/(w+1) ~ 16 minimizers; 48 is
+                # ~3x headroom — overflow lanes are dropped)
+LUT_MIN_BITS = 10
+LUT_MAX_BITS = 20
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
@@ -75,6 +80,43 @@ def minimizer_mask(bases, lengths, k: int = MM_K, w: int = MM_W):
     return km, h, is_mm
 
 
+def build_prefix_lut(keys: np.ndarray):
+    """Host-side prefix LUT over the sorted key table: lut[b] = first
+    row whose limb-0 top `bits` equal b (the same trick as KMC's
+    .kmc_pre prefix LUT, reference src/KMC_reader.c:50-149).  Replaces
+    the first `bits` binary-search steps of every device lookup with a
+    single gather; the residual per-bucket search is `iters` steps."""
+    M = len(keys)
+    bits = int(np.clip(int(np.ceil(np.log2(max(M, 2)))) + 2,
+                       LUT_MIN_BITS, LUT_MAX_BITS))
+    top = (keys[:, 0] >> np.uint32(32 - bits)).astype(np.int64)
+    lut = np.searchsorted(
+        top, np.arange((1 << bits) + 1, dtype=np.int64),
+        side="left").astype(np.int32)
+    bucket_max = int((lut[1:] - lut[:-1]).max()) if M else 0
+    iters = int(np.ceil(np.log2(bucket_max + 1))) + 1 if bucket_max else 1
+    return lut, bits, iters
+
+
+def _lut_search(table, lut, queries, bits: int, iters: int):
+    """Two-level table lookup: prefix-LUT gather + short binary search
+    inside the bucket.  Returns (idx (Q,) int32, found (Q,) bool)."""
+    M = table.shape[0]
+    b = (queries[:, 0] >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    lo = lut[b]
+    hi = lut[b + 1]
+    for _ in range(iters):
+        mid = (lo + hi) // 2
+        row = table[jnp.clip(mid, 0, M - 1)]
+        lt = so._lex_lt_rows(row, queries)
+        active = lo < hi
+        lo = jnp.where(active & lt, mid + 1, lo)
+        hi = jnp.where(active & ~lt, mid, hi)
+    idx = jnp.clip(lo, 0, M - 1)
+    found = jnp.all(table[idx] == queries, axis=-1)
+    return idx, found
+
+
 @dataclass
 class EdgeMinimizerIndex:
     """Sorted minimizer table over all live edges of a graph."""
@@ -84,10 +126,20 @@ class EdgeMinimizerIndex:
     count: np.ndarray       # (M,) int32 total occurrences
     k: int = MM_K
     w: int = MM_W
+    _lut: Optional[np.ndarray] = None
+    _lut_bits: int = 0
+    _lut_iters: int = 0
 
     @property
     def singleton(self) -> np.ndarray:
         return self.count == 1
+
+    def lookup_tables(self):
+        """(lut, bits, iters) for _lut_search, built lazily and cached."""
+        if self._lut is None:
+            self._lut, self._lut_bits, self._lut_iters = \
+                build_prefix_lut(self.keys)
+        return self._lut, self._lut_bits, self._lut_iters
 
     @classmethod
     def build(cls, g: AsmGraph, k: int = MM_K, w: int = MM_W,
@@ -213,91 +265,85 @@ def _fmix32(x):
     return x
 
 
-MAP_TALLY_LOG2 = 22   # (read, edge) tally table slots per batch
-MAP_TALLY_PROBES = 6
-
-
-@functools.partial(jax.jit, static_argnames=("k", "w"))
-def _map_batch(bases, lengths, keys, edge, pos, count, k: int, w: int):
+@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters"))
+def _map_batch(bases, lengths, keys, edge, pos, count, lut,
+               k: int, w: int, bits: int, iters: int):
     """Per-read best-edge vote.  Returns (best_edge (B,) int32 [-1 if
     unmapped/ambiguous], best_hits (B,) int32, est_start (B,) int32).
 
-    The per-(read, edge) tally is an open-addressing claim/verify table
-    (the devhash pattern, ops/devhash.py) instead of a B*P-row
-    lax.sort: scatter/gather sustains ~60M random accesses/s on this
-    platform while lax.sort is ~1000x off that.  Distinct (read, edge)
-    pairs are far fewer than lanes, so the table load is tiny and
-    nearly every lane resolves in the first probe round."""
+    Three HBM-traffic optimizations over the naive all-lanes lookup
+    (random access is the platform bottleneck, ~60M idx/s):
+      1. lane compaction — only the ~16 minimizer positions of each
+         read (not all L-k+1 window lanes) are looked up, via a per-read
+         rank scatter into MM_CAP slots;
+      2. two-level lookup — prefix-LUT gather + ~3-step in-bucket
+         binary search instead of the 20-step full binary search;
+      3. per-row tally — the (read, edge) vote tally sorts each read's
+         MM_CAP lanes along the row axis ((B, 48) sort, trivial) and
+         run-lengths in registers — no scatter table at all."""
     B, L = bases.shape
     km, h, is_mm = minimizer_mask(bases, lengths, k, w)
     P = km.shape[1]
-    flat = km.reshape(B * P, NL)
-    idx, found = so.searchsorted_limbs(keys, flat)
-    found = found & is_mm.reshape(-1)
-    hit_sing = found & (count[idx] == 1)
-    hit_edge = jnp.where(hit_sing, edge[idx], jnp.int32(0))
-    hit_pos = pos[idx]
-    read_id = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
-    p_read = jnp.tile(jnp.arange(P, dtype=jnp.int32), (B,))
-    start_est = jnp.maximum(hit_pos - p_read, 0)
 
-    T = 1 << MAP_TALLY_LOG2
-    mask = jnp.uint32(T - 1)
-    ru = read_id.astype(jnp.uint32)
-    eu = hit_edge.astype(jnp.uint32)
-    x = ru * jnp.uint32(0x9E3779B1) ^ eu * jnp.uint32(0x85EBCA77)
-    slot = _fmix32(x) & mask
-    stride = (_fmix32(x ^ jnp.uint32(0x27D4EB2F)) | jnp.uint32(1)) & mask
+    # 1. compact minimizer lanes: slot r of read b = b*MM_CAP + rank
+    rank = jnp.cumsum(is_mm.astype(jnp.int32), axis=1) - 1
+    keep = is_mm & (rank < MM_CAP)
+    Bc = B * MM_CAP
+    dflat = jnp.where(
+        keep, jnp.arange(B, dtype=jnp.int32)[:, None] * MM_CAP + rank,
+        Bc).reshape(-1)
+    ck = jnp.full((Bc, NL), 0xFFFFFFFF, jnp.uint32).at[dflat].set(
+        km.reshape(-1, NL), mode="drop", unique_indices=True)
+    cp = jnp.zeros((Bc,), jnp.int32).at[dflat].set(
+        jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :],
+                         (B, P)).reshape(-1),
+        mode="drop", unique_indices=True)
+    cvalid = jnp.zeros((Bc,), bool).at[dflat].set(
+        jnp.ones((B * P,), bool), mode="drop", unique_indices=True)
 
-    # the slot's identity is ONE fused word — the claiming lane's index
-    # in [0, B*P) — so colliding claims in the same round can never
-    # produce a chimeric slot (a two-array claim could mix read from
-    # one key with edge from another, and that chimera can equal a REAL
-    # third pair, silently splitting its tally).  A lane's (read, edge)
-    # is recovered as (lane // P, hit_edge[lane]).
-    t_lane = jnp.full((T,), -1, jnp.int32)
-    lane_idx = jnp.arange(B * P, dtype=jnp.int32)
-    active = hit_sing
-    res_slot = jnp.full((B * P,), T, jnp.int32)
-    for _ in range(MAP_TALLY_PROBES):
-        sl = slot.astype(jnp.int32)
-        cur = jnp.take(t_lane, sl)
-        empty = cur < 0
-        wslot = jnp.where(active & empty, sl, T)
-        t_lane = t_lane.at[wslot].set(lane_idx, mode="drop",
-                                      unique_indices=True)
-        cur = jnp.take(t_lane, sl)
-        curp = jnp.maximum(cur, 0)
-        mine = active & (cur >= 0) & (curp // P == read_id) & \
-            (jnp.take(hit_edge, curp) == hit_edge)
-        res_slot = jnp.where(mine, sl, res_slot)
-        active = active & ~mine
-        slot = (slot + stride) & mask
+    # 2. lookup
+    idx, found = _lut_search(keys, lut, ck, bits, iters)
+    sing = found & cvalid & (count[idx] == 1)
+    SENT = jnp.int32(0x7FFFFFFF)
+    ce = jnp.where(sing, edge[idx], SENT).reshape(B, MM_CAP)
+    cs = jnp.maximum(pos[idx] - cp, 0)
+    cs = jnp.where(sing, cs, jnp.int32(1 << 30)).reshape(B, MM_CAP)
 
-    counts_t = jnp.zeros((T,), jnp.int32).at[res_slot].add(1, mode="drop")
-    start_t = jnp.full((T,), jnp.int32(1 << 30)).at[res_slot].min(
-        start_est, mode="drop")
-
-    live = t_lane >= 0
-    t_lanep = jnp.maximum(t_lane, 0)
-    t_read = jnp.where(live, t_lanep // P, -1)
-    t_edge = jnp.where(live, jnp.take(hit_edge, t_lanep), -1)
-    r = jnp.where(live, t_read, B)
-    best = jnp.zeros((B + 1,), jnp.int32).at[r].max(counts_t, mode="drop")
-    is_eq = live & (counts_t > 0) & (counts_t == jnp.take(best, r))
-    n_best = jnp.zeros((B + 1,), jnp.int32).at[r].add(
-        is_eq.astype(jnp.int32), mode="drop")
-    is_best = is_eq & (jnp.take(n_best, r) == 1)
-    best_edge = jnp.full((B + 1,), jnp.int32(-1)).at[r].max(
-        jnp.where(is_best, t_edge, -1), mode="drop")
-    best_start = jnp.full((B + 1,), jnp.int32(1 << 30)).at[r].min(
-        jnp.where(is_best, start_t, 1 << 30), mode="drop")
+    # 3. per-row tally: sort each row by edge, run-length in lanes
+    se, ss = jax.lax.sort((ce, cs), dimension=1, num_keys=1,
+                          is_stable=False)
+    jjj = jnp.broadcast_to(jnp.arange(MM_CAP, dtype=jnp.int32)[None, :],
+                           (B, MM_CAP))
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), se[:, :-1]], axis=1)
+    newrun = se != prev
+    run_start = jax.lax.cummax(jnp.where(newrun, jjj, -1), axis=1)
+    cnt = jjj - run_start + 1
+    nxt = jnp.concatenate(
+        [se[:, 1:], jnp.full((B, 1), -2, jnp.int32)], axis=1)
+    is_end = se != nxt
+    validrun = se != SENT
+    runlen = jnp.where(is_end & validrun, cnt, 0)
+    best = jnp.max(runlen, axis=1)
+    n_best = jnp.sum((runlen == best[:, None]) & (runlen > 0), axis=1)
+    # run-min of est_start: segmented doubling min within each run
+    m = ss
+    off = 1
+    while off < MM_CAP:
+        shifted = jnp.concatenate(
+            [jnp.full((B, off), 1 << 30, jnp.int32), m[:, :-off]], axis=1)
+        m = jnp.where(jjj - off >= run_start, jnp.minimum(m, shifted), m)
+        off <<= 1
+    pickmask = is_end & validrun & (runlen == best[:, None]) & \
+        (n_best == 1)[:, None] & (best > 0)[:, None]
+    best_edge = jnp.max(jnp.where(pickmask, se, -1), axis=1)
+    best_start = jnp.min(jnp.where(pickmask, m, 1 << 30), axis=1)
     # confidence gate (RATIO_OF_CONFIDENT=0.85, MIN_NUMBER_SINGLETON=2,
     # reference src/minimizers/smart_load.c:193): same as the sort oracle
-    tot = jnp.zeros((B + 1,), jnp.int32).at[r].add(counts_t, mode="drop")[:B]
-    conf = (best[:B] * 100 >= 85 * tot) | (tot <= 2)
-    be = jnp.where(conf, best_edge[:B], -1)
-    return (be, best[:B], jnp.where(be >= 0, best_start[:B], -1))
+    tot = jnp.sum(validrun.astype(jnp.int32), axis=1)
+    conf = (best * 100 >= 85 * tot) | (tot <= 2)
+    be = jnp.where(conf, best_edge, -1)
+    return (be, best, jnp.where(be >= 0, best_start, -1))
 
 
 RESCORE_PAD = 16   # target-window slack around the voted start
@@ -424,6 +470,13 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         edge = jnp.asarray(index.edge)
         pos = jnp.asarray(index.pos)
         count = jnp.asarray(index.count)
+        lut_np, bits, iters = index.lookup_tables()
+        lut = jnp.asarray(lut_np)
+        # dispatch every batch before fetching any result: jax dispatch
+        # is async, so the device pipelines batches back-to-back while
+        # the host only pays one sync at the end (the per-batch fetch
+        # round-trip is ~100 ms on this rig's tunnel)
+        pending = []
         for i in range(0, N, batch_size):
             rb = bases[i : i + batch_size]
             lb_ = lengths[i : i + batch_size]
@@ -432,8 +485,10 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
                 rb = np.concatenate(
                     [rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
                 lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
-            be, bh, bs = _map_batch(rb, lb_, keys, edge, pos, count,
-                                    index.k, index.w)
+            pending.append((i, _map_batch(rb, lb_, keys, edge, pos, count,
+                                          lut, index.k, index.w, bits,
+                                          iters)))
+        for i, (be, bh, bs) in pending:
             m = min(batch_size, N - i)
             edges[i : i + m] = np.asarray(be)[:m]
             hits[i : i + m] = np.asarray(bh)[:m]

@@ -1,24 +1,31 @@
-"""Pallas banded affine-gap alignment kernel.
+"""Pallas affine-gap alignment kernel (TPU production DP).
 
 The single DP kernel the rebuild plan names for both alignment users
 (SURVEY.md §2.13.7): BWA's ksw_global2 rescoring (barcode aux info,
-path scoring) and the bubble NW check.  One grid step = one sequence
-pair; the band (static width W, padded to the 128-lane VPU) marches
-down the anti-diagonal with the whole band updated per query row:
+path scoring) and the bubble NW check.  One grid step = G=8 sequence
+pairs (the 8-sublane x 128-lane VPU tile).
 
-  band coords: j = column - row + W/2  (diagonal stays at the same j)
-  H[i][j] = max(H[i-1][j] + subst, E[i][j], F[i][j])
-  E[i][j] = max(H[i-1][j+1], E[i-1][j+1] + go') - go'/ge  (vertical)
-  F[i][j] = max_{t<j}(pre[t]) - go - ge*(j-t)             (horizontal)
+Layout is COLUMN-coordinate full-width NW rather than a sliding band:
+Mosaic requires dynamic lane offsets to be 128-aligned, so a band that
+slides one lane per row cannot be loaded from VMEM — instead the
+target stays fixed in lanes (padded to a 128 multiple) and the DP
+state shifts by static one-lane steps:
+
+  H[i][c] = max(H[i-1][c-1] + subst(q_i, t_c), E[i][c], F[i][c])
+  E[i][c] = max(H[i-1][c] - go - ge, E[i-1][c] - ge)   (vertical)
+  F[i][c] = max_{u<c}(pre[u] + ge*u) - go - ge*c       (horizontal)
 
 The in-row F chain is closed with the same one-gap-open dominance
-cummax used by ops/align.py, so each row is pure vector work — no
-per-cell loop, no MXU, VPU-resident band in VMEM scratch.
+cummax used by ops/align.py (a Hillis-Steele shift-max, log2(C) vector
+steps), so each row is pure vector work.  The row's query char is
+extracted with a one-hot lane reduction (dynamic gather is not
+lowerable; the reduction is).  Full width means the result is exact
+for ANY divergence — the `W` parameter is kept for API compatibility
+and as the scan/pallas switch but no longer bounds the search.
 
-Inputs are padded uint8 code batches; scores are read out at
-(qlen, tlen), which the caller must keep inside the band
-(|tlen - qlen| < W/2).  `interpret=True` is used on CPU (tests); on
-TPU the kernel compiles once per (B, Lq, Lt, W) shape.
+Inputs are padded uint8 code batches (255 = sentinel); scores are read
+at (qlen, tlen).  `interpret=True` is used on CPU (tests); on TPU the
+kernel compiles once per (B, Lq, Lt) shape.
 """
 
 from __future__ import annotations
@@ -29,79 +36,91 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 20)  # plain int: pallas kernels must not capture Array constants
+G = 8             # pairs per grid step (VPU sublanes)
 
 
-def _band_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref, *, W: int,
-                 match: int, mismatch: int, go: int, ge: int, Lq: int, Lt: int,
-                 mode: str):
-    half = W // 2
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)[0]
+def _nw_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref,
+               h_ref, e_ref, best_ref, *,
+               match: int, mismatch: int, go: int, ge: int, Lq: int, Lt: int,
+               C: int, mode: str):
+    cc = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
     goge = jnp.int32(go + ge)
 
-    qlen = qlen_ref[0]
-    tlen = tlen_ref[0]
+    qlen = qlen_ref[:, 0:1]        # (G, 1)
+    tlen = tlen_ref[:, 0:1]
+    q_all = q_ref[...]             # (G, Lq) int32, 255-padded
+    tch = t_ref[...]               # (G, C) int32; tch[:, c] = t[c-1], 255 pad
 
-    # row 0: H[0][j] = gap cost of column (j - half), valid for col >= 0;
-    # fit mode: free target-start gap, H[0][col] = 0 for every column
-    col0 = jj - half
+    # row 0: H[0][c] = cost of a target-prefix gap of c;
+    # fit mode: free target-start gap, H[0][c] = 0 for every column
     if mode == "fit":
-        h0 = jnp.where(col0 >= 0, 0, NEG).astype(jnp.int32)
+        h0 = jnp.where(cc <= Lt, 0, NEG).astype(jnp.int32)
     else:
-        h0 = jnp.where(col0 == 0, 0,
-                       jnp.where(col0 > 0, -(go + ge * col0), NEG)
+        h0 = jnp.where(cc == 0, 0,
+                       jnp.where(cc <= Lt, -(go + ge * cc), NEG)
                        ).astype(jnp.int32)
-    e0 = jnp.full((W,), NEG, jnp.int32)
+    e0 = jnp.full((G, C), NEG, jnp.int32)
+    neg_col = jnp.full((G, 1), NEG, jnp.int32)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (G, Lq), 1)
 
-    t_all = t_ref[0, :]
-    q_all = q_ref[0, :]
-
-    def row(i, carry):
-        h_prev, e_prev, best = carry
-        # qi: query char of row i (1-based row => q[i-1])
-        qi = q_all[i - 1].astype(jnp.int32)
-        # band j covers column c = i + j - half; target char t[c-1]
-        cols = i + jj - half
-        tc = jnp.where((cols >= 1) & (cols <= Lt),
-                       jnp.take(t_all, jnp.clip(cols - 1, 0, Lt - 1)),
-                       jnp.uint8(255)).astype(jnp.int32)
-        sub = jnp.where((tc == qi) & (tc < 4) & (qi < 4), match, mismatch)
-        # E: vertical — previous row, band index j+1
-        h_up = jnp.concatenate([h_prev[1:], jnp.full((1,), NEG, jnp.int32)])
-        e_up = jnp.concatenate([e_prev[1:], jnp.full((1,), NEG, jnp.int32)])
-        e = jnp.maximum(e_up - ge, h_up - goge)
-        # candidates before horizontal gaps: diagonal + vertical
-        diag = h_prev + sub
-        b = jnp.maximum(diag, e)
-        # boundary: column 0 at row i (band idx half - i)
-        b = jnp.where(cols == 0, -(go + ge * i), b)
-        b = jnp.where((cols < 0) | (cols > Lt), NEG, b)
-        # F: horizontal via cummax with decay along the band
-        cm = jax.lax.associative_scan(jnp.maximum, b + ge * jj)
-        f = jnp.concatenate([jnp.full((1,), NEG, jnp.int32), cm[:-1]]) \
-            - go - ge * jj
+    # DP state lives in VMEM scratch refs, not fori_loop carries: the
+    # inits are iota/constant expressions whose (replicated) vector
+    # layouts cannot unify with the body outputs' concrete layouts
+    def row(i, _):
+        h_prev = h_ref[...]
+        e_prev = e_ref[...]
+        # query char of row i (1-based => q[i-1]) via one-hot reduction
+        qi = jnp.sum(jnp.where(qpos == i - 1, q_all, 0), axis=1,
+                     keepdims=True)                       # (G, 1)
+        sub = jnp.where((tch == qi) & (tch < 4) & (qi < 4), match, mismatch)
+        # E: vertical gap — same column, previous row
+        e = jnp.maximum(e_prev - ge, h_prev - goge)
+        # diagonal: previous row, previous column (static one-lane shift)
+        hd = jnp.concatenate([neg_col, h_prev[:, :-1]], axis=1)
+        b = jnp.maximum(hd + sub, e)
+        # boundary: column 0 at row i = query-prefix gap
+        b = jnp.where(cc == 0, -(go + ge * i), b)
+        b = jnp.where(cc > Lt, NEG, b)
+        # F: horizontal via cummax with decay along the row
+        # (Hillis-Steele shift-max: log2(C) static lane shifts)
+        cm = b + ge * cc
+        off = 1
+        while off < C:
+            cm = jnp.maximum(
+                cm, jnp.concatenate(
+                    [jnp.full((G, off), NEG, jnp.int32), cm[:, :-off]],
+                    axis=1))
+            off <<= 1
+        f = jnp.concatenate([neg_col, cm[:, :-1]], axis=1) - go - ge * cc
         h = jnp.maximum(b, f)
-        h = jnp.where((cols < 0) | (cols > Lt), NEG, h)
-        # capture score: global reads (qlen, tlen); fit takes the best
-        # cell of the qlen row at any column <= tlen (free target tail)
+        h = jnp.where(cc > Lt, NEG, h)
+        # capture: global reads (qlen, tlen); fit takes the best cell of
+        # the qlen row at any column <= tlen (free target tail)
         if mode == "fit":
-            at = (i == qlen) & (cols <= tlen)
+            at = (i == qlen) & (cc <= tlen)
         else:
-            at = (i == qlen) & (jj == (tlen - i + half))
-        best = jnp.maximum(best, jnp.max(jnp.where(at, h, NEG)))
-        return h, e, best
+            at = (i == qlen) & (cc == tlen)
+        h_ref[...] = h
+        e_ref[...] = e
+        best_ref[...] = jnp.maximum(
+            best_ref[...], jnp.max(jnp.where(at, h, NEG), axis=1,
+                                   keepdims=True))
+        return 0
 
     if mode == "fit":
-        best0 = jnp.max(jnp.where((qlen == 0) & (col0 <= tlen), h0, NEG))
+        best0 = jnp.max(jnp.where((qlen == 0) & (cc <= tlen), h0, NEG),
+                        axis=1, keepdims=True)
     else:
-        best0 = jnp.max(jnp.where((jj == (tlen + half)) & (qlen == 0), h0, NEG))
-    h, e, best = jax.lax.fori_loop(
-        1, Lq + 1,
-        lambda i, c: jax.lax.cond(i <= qlen, lambda cc: row(i, cc),
-                                  lambda cc: cc, c),
-        (h0, e0, best0))
-    out_ref[0] = best
+        best0 = jnp.max(jnp.where((qlen == 0) & (cc == tlen), h0, NEG),
+                        axis=1, keepdims=True)
+    h_ref[...] = h0
+    e_ref[...] = e0
+    best_ref[...] = best0
+    jax.lax.fori_loop(1, Lq + 1, row, 0)
+    out_ref[...] = best_ref[...]
 
 
 @functools.partial(jax.jit,
@@ -110,29 +129,48 @@ def _band_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_ref, *, W: int,
 def banded_affine_score(q, qlen, t, tlen, W: int = 128, match: int = 1,
                         mismatch: int = -2, go: int = 3, ge: int = 1,
                         interpret: bool = False, mode: str = "global"):
-    """Banded affine-gap score per pair ("global" or "fit" — see
-    ops/align.py for the mode semantics).
+    """Affine-gap score per pair ("global" or "fit" — see ops/align.py
+    for the mode semantics).
 
-    q (B, Lq) uint8, t (B, Lt) uint8, qlen/tlen (B,) int32.
-    Requires |tlen - qlen| < W//2 per pair (caller-checked); returns -inf
-    sentinel scores otherwise.
-    """
+    q (B, Lq) uint8, t (B, Lt) uint8, qlen/tlen (B,) int32; returns (B,)
+    int32.  B is padded up to a multiple of 8 internally (TPU sublane
+    tile); the target axis is padded to a 128-lane multiple.  Exact for
+    any divergence (full-width DP; `W` kept for API compatibility)."""
     B, Lq = q.shape
     Lt = t.shape[1]
-    kernel = functools.partial(_band_kernel, W=W, match=match,
-                               mismatch=mismatch, go=go, ge=ge, Lq=Lq, Lt=Lt,
-                               mode=mode)
+    Bp = -(-B // G) * G
+    if Bp != B:
+        q = jnp.concatenate(
+            [q, jnp.full((Bp - B, Lq), 255, jnp.uint8)], axis=0)
+        t = jnp.concatenate(
+            [t, jnp.full((Bp - B, Lt), 255, jnp.uint8)], axis=0)
+        qlen = jnp.concatenate([qlen, jnp.full(Bp - B, 1, jnp.int32)])
+        tlen = jnp.concatenate([tlen, jnp.full(Bp - B, 1, jnp.int32)])
+    # column-coordinate target: tch[:, c] = t[c-1] for c in 1..Lt,
+    # sentinel elsewhere; lanes padded to a 128 multiple
+    C = -(-(Lt + 1) // 128) * 128
+    tch = jnp.concatenate([
+        jnp.full((Bp, 1), 255, jnp.uint8),
+        t.astype(jnp.uint8),
+        jnp.full((Bp, C - Lt - 1), 255, jnp.uint8)], axis=1).astype(jnp.int32)
+    q32 = q.astype(jnp.int32)
+    kernel = functools.partial(_nw_kernel, match=match, mismatch=mismatch,
+                               go=go, ge=ge, Lq=Lq, Lt=Lt, C=C, mode=mode)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(Bp // G,),
         in_specs=[
-            pl.BlockSpec((1, Lq), lambda b: (b, 0)),
-            pl.BlockSpec((1, Lt), lambda b: (b, 0)),
-            pl.BlockSpec((1,), lambda b: (b,)),
-            pl.BlockSpec((1,), lambda b: (b,)),
+            pl.BlockSpec((G, Lq), lambda b: (b, 0)),
+            pl.BlockSpec((G, C), lambda b: (b, 0)),
+            pl.BlockSpec((G, 1), lambda b: (b, 0)),
+            pl.BlockSpec((G, 1), lambda b: (b, 0)),
         ],
-        out_specs=pl.BlockSpec((1,), lambda b: (b,)),
-        out_shape=jax.ShapeDtypeStruct((B,), jnp.int32),
+        out_specs=pl.BlockSpec((G, 1), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((G, C), jnp.int32),
+                        pltpu.VMEM((G, C), jnp.int32),
+                        pltpu.VMEM((G, 1), jnp.int32)],
         interpret=interpret,
-    )(q.reshape(B, Lq), t.reshape(B, Lt), qlen, tlen)
-    return out
+    )(q32, tch, qlen.reshape(Bp, 1).astype(jnp.int32),
+      tlen.reshape(Bp, 1).astype(jnp.int32))
+    return out[:B, 0]

@@ -24,30 +24,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..mapper.minimizers import _map_batch, EdgeMinimizerIndex
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "w", "axis"))
-def sharded_map_step(bases, lengths, keys, edge, pos, count, *, mesh: Mesh,
-                     k: int, w: int, axis: str = "shard"):
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "w", "bits",
+                                              "iters", "axis"))
+def sharded_map_step(bases, lengths, keys, edge, pos, count, lut, *,
+                     mesh: Mesh, k: int, w: int, bits: int, iters: int,
+                     axis: str = "shard"):
     """One distributed mapping step.
 
     bases/lengths are sharded over `axis`; the index arrays are
     replicated.  Returns (best_edge, n_hits, est_start), each sharded
     like the input reads — bit-equal to the single-device kernel on the
     same rows."""
-    def body(b, l, ks, e, p, c):
-        return _map_batch(b, l, ks, e, p, c, k, w)
+    def body(b, l, ks, e, p, c, lt):
+        return _map_batch(b, l, ks, e, p, c, lt, k, w, bits, iters)
 
-    # check_vma off: the searchsorted fori_loop carry starts replicated
-    # (zeros) and becomes device-varying inside the body, which the
+    # check_vma off: the lookup loop carry starts replicated (zeros)
+    # and becomes device-varying inside the body, which the
     # varying-manual-axes checker rejects; the body itself is pure
     # per-device compute with no collectives.
     f = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(None, None), P(None), P(None),
-                  P(None)),
+                  P(None), P(None)),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    return f(bases, lengths, keys, edge, pos, count)
+    return f(bases, lengths, keys, edge, pos, count, lut)
 
 
 def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
@@ -72,8 +74,11 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
     edge = jax.device_put(index.edge, rep)
     pos = jax.device_put(index.pos, rep)
     count = jax.device_put(index.count, rep)
+    lut_np, bits, iters = index.lookup_tables()
+    lut = jax.device_put(lut_np, rep)
     shb = NamedSharding(mesh, P(axis, None))
     shl = NamedSharding(mesh, P(axis))
+    pending = []
     for i in range(0, N, batch_size):
         rb = bases[i : i + batch_size]
         lb_ = lengths[i : i + batch_size]
@@ -84,9 +89,10 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
             lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
         db = jax.device_put(rb, shb)
         dl = jax.device_put(lb_, shl)
-        be, bh, bs = sharded_map_step(db, dl, keys, edge, pos, count,
-                                      mesh=mesh, k=index.k, w=index.w,
-                                      axis=axis)
+        pending.append((i, sharded_map_step(
+            db, dl, keys, edge, pos, count, lut, mesh=mesh, k=index.k,
+            w=index.w, bits=bits, iters=iters, axis=axis)))
+    for i, (be, bh, bs) in pending:
         m = min(batch_size, N - i)
         edges[i : i + m] = np.asarray(be)[:m]
         hits[i : i + m] = np.asarray(bh)[:m]
