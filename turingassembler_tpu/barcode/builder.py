@@ -36,18 +36,27 @@ CONTIG_LEVEL_1 = 3000     # :113
 CONTIG_LEVEL_2 = 10000    # :114
 MIN_CONTIG_BARCODE = 5000  # :121
 MAX_READ_FRAG_LEN = 350   # :117
+RP_FULL_LEN_SLACK = 30    # DP-score stand-in for rp_count_mapper's
+                          # aligned == read_len gate (barcode_builder.c:677)
 
 
 def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 8192, pad_to: int = 256):
     """Stream (bases1, len1, bases2, len2, barcodes) batches from the
-    sorted archive."""
-    from ..io.fastq import read_fastq_batches
-    g1 = read_fastq_batches(rpath.R1_path, batch_size, pad_to, keep_text=True)
-    g2 = read_fastq_batches(rpath.R2_path, batch_size, pad_to, keep_text=True)
-    for b1 in g1:
-        b2 = next(g2)
-        yield b1.bases, b1.lengths, b2.bases, b2.lengths, \
-            decode_barcode_comments(b1.comments)
+    sorted archive via the native loader (the python FASTQ parse was
+    the aux-info stage's second-largest cost); batch widths bucket to
+    the library's read length (pipeline.batch_width)."""
+    from ..io.native_loader import read_fastq_batches_native
+    from ..pipeline import batch_width
+    g1 = read_fastq_batches_native(rpath.R1_path, batch_size, pad_to,
+                                   with_headers=True)
+    g2 = read_fastq_batches_native(rpath.R2_path, batch_size, pad_to)
+    for (ba1, l1, hdrs) in g1:
+        ba2, l2, _ = next(g2)
+        comments = [h[h.find(b" ") + 1 :] if b" " in h else b""
+                    for h in hdrs]
+        yield (np.ascontiguousarray(ba1[:, : batch_width(l1)]), l1,
+               np.ascontiguousarray(ba2[:, : batch_width(l2)]), l2,
+               decode_barcode_comments(comments))
 
 
 def decode_barcode_comments(comments) -> np.ndarray:
@@ -212,10 +221,17 @@ def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
     counts: Dict[Tuple[int, int], int] = {}
     mesh = _library_mesh()
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
-        # rp_count_mapper keeps only full-length, >=50-score alignments
-        # (barcode_builder.c:676-705); the DP gate enforces that here
-        e1, _, _ = map_reads(index, b1, l1, graph=g, mesh=mesh)
-        e2, _, _ = map_reads(index, b2, l2, graph=g, mesh=mesh)
+        # rp_count_mapper keeps only FULL-LENGTH >=50-score alignments
+        # (a.aligned < len -> skip, score floor: reference
+        # barcode_builder.c:676-705); the per-lane DP threshold
+        # read_len - slack is the same full-length stand-in the bridge
+        # path scorer uses
+        ms1 = np.maximum(l1.astype(np.int64) - RP_FULL_LEN_SLACK, 50)
+        ms2 = np.maximum(l2.astype(np.int64) - RP_FULL_LEN_SLACK, 50)
+        e1, _, _ = map_reads(index, b1, l1, graph=g, mesh=mesh,
+                             min_score=ms1)
+        e2, _, _ = map_reads(index, b2, l2, graph=g, mesh=mesh,
+                             min_score=ms2)
         ok = (e1 >= 0) & (e2 >= 0)
         keys = e1[ok].astype(np.int64) * (1 << 32) + e2[ok].astype(np.int64)
         uk, uc = np.unique(keys, return_counts=True)

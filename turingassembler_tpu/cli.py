@@ -420,9 +420,25 @@ def cmd_bin2text(cfg: Config):
     print(f"wrote {out} (n_v={g.n_v}, n_e={g.n_e}, k={g.ksize})")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: first-run compiles over the remote
+    TPU tunnel cost minutes (a cold 500 kb assembly3 spends ~80% of its
+    wall clock compiling); every later run reuses the executables."""
+    import os
+    import jax
+    cache = os.environ.get(
+        "TA_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "turingassembler_tpu", "xla"))
+    if cache and cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None) -> int:
     from .ops.hostmem import tune_host_malloc
     tune_host_malloc()
+    _enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(
         prog="turingassembler_tpu",

@@ -15,13 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from ..graph.structs import AsmGraph
-from ..ops import kmers as km
 from ..ops import limbs as lb
-from ..ops import sortops as so
 
 KMER_SIZE_COVERAGE = 31   # reference kmer_count.c:14
 MAX_KMER_COUNT = 999      # :15
@@ -58,41 +53,45 @@ def build_edge_kmer_table(g: AsmGraph, k: int = KMER_SIZE_COVERAGE):
     return np.ascontiguousarray(table), edge_rows
 
 
+def _rows_to_u64(limbs: np.ndarray) -> np.ndarray:
+    """(N, 2) uint32 lexicographic rows -> (N,) uint64 preserving order."""
+    assert limbs.shape[1] == 2
+    return (limbs[:, 0].astype(np.uint64) << np.uint64(32)) | \
+        limbs[:, 1].astype(np.uint64)
+
+
 def count_reads_into_table(table: np.ndarray, reads: np.ndarray,
                            lengths: np.ndarray, k: int = KMER_SIZE_COVERAGE,
                            batch_size: int = 8192) -> np.ndarray:
-    """Stream reads, accumulating per-table-entry counts (fw + rc)."""
+    """Per-table-entry read-window counts (fw + rc strands).
+
+    A table key's fw+rc window hit count equals the CANONICAL k-mer
+    count of canon(key) — the forward and reverse window multisets of a
+    read are mutually RC — so the fast count engine (kmer/count.py; the
+    megasort path on TPU) does the streaming, and the table join is ONE
+    host searchsorted over the unique keys.  The previous formulation
+    ran a 20-step device binary search on every window lane (~90M lanes
+    x 2 strands on a 500 kb job) and dominated the extend stage."""
     M = len(table)
     counts = np.zeros(M, np.int64)
-    if M == 0:
+    if M == 0 or len(reads) == 0:
         return counts
-    tab = jnp.asarray(table)
-
-    @jax.jit
-    def step(bases, lens, acc):
-        fw = km._pack_windows(bases, k)
-        valid = km.window_validity(bases, lens, k)
-        rc_read = km.complement_bases(bases[:, ::-1])
-        rc = km._pack_windows(rc_read, k)[:, ::-1, :]
-        rc_valid = valid
-        out = acc
-        for kmers, v in ((fw, valid), (rc, rc_valid)):
-            flat = kmers.reshape(-1, kmers.shape[-1])
-            idx, found = so.searchsorted_limbs(tab, flat)
-            add = (found & v.reshape(-1)).astype(jnp.int32)
-            out = out.at[idx].add(add)
-        return out
-
-    acc = jnp.zeros(M, jnp.int32)
-    for i in range(0, len(reads), batch_size):
-        rb = reads[i : i + batch_size]
-        lns = lengths[i : i + batch_size]
-        if len(rb) < batch_size:
-            pad = batch_size - len(rb)
-            rb = np.concatenate([rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
-            lns = np.concatenate([lns, np.zeros(pad, np.int32)])
-        acc = step(jnp.asarray(rb), jnp.asarray(lns), acc)
-    return np.asarray(acc, np.int64)
+    from .count import count_kedges_from_reads
+    # the count engines count (k+1)-mers of their `k` argument
+    uniq, ucnt = count_kedges_from_reads(
+        reads, np.ascontiguousarray(lengths, np.int32), k - 1,
+        batch_size=batch_size)
+    if len(uniq) == 0:
+        return counts
+    rc = lb.np_revcomp_limbs_fast(np.ascontiguousarray(table), k)
+    canon = np.where(lb.np_lex_lt(rc, table)[:, None], rc, table)
+    u64 = _rows_to_u64(uniq)
+    q64 = _rows_to_u64(canon)
+    pos = np.searchsorted(u64, q64)
+    posc = np.minimum(pos, len(u64) - 1)
+    found = u64[posc] == q64
+    counts[found] = ucnt[posc[found]]
+    return counts
 
 
 def recount_coverage(g: AsmGraph, reads: np.ndarray, lengths: np.ndarray,

@@ -173,15 +173,14 @@ class EdgeMinimizerIndex:
                 km, h, is_mm = minimizer_mask(mat, elen, k, w)
                 km = np.asarray(km)
                 is_mm = np.asarray(is_mm)
-                for j, e in enumerate(chunk):
-                    ps = np.flatnonzero(is_mm[j])
-                    if len(ps) == 0:
-                        continue
-                    rows = np.empty((len(ps), NL + 2), np.uint32)
-                    rows[:, :NL] = km[j, ps]
-                    rows[:, NL] = e
-                    rows[:, NL + 1] = ps
-                    all_rows.append(rows)
+                jj, pp = np.nonzero(is_mm)
+                if len(jj) == 0:
+                    continue
+                rows = np.empty((len(jj), NL + 2), np.uint32)
+                rows[:, :NL] = km[jj, pp]
+                rows[:, NL] = np.asarray(chunk, np.uint32)[jj]
+                rows[:, NL + 1] = pp
+                all_rows.append(rows)
         if not all_rows:
             z = np.zeros((0, NL), np.uint32)
             return cls(z, np.zeros(0, np.int32), np.zeros(0, np.int32),
@@ -444,7 +443,7 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
               lengths: np.ndarray, batch_size: int = 8192,
-              graph=None, min_score: int | None = None, mesh=None):
+              graph=None, min_score=None, mesh=None):
     """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
     n_hits (N,), est_start (N,)).
 

@@ -51,6 +51,15 @@ def save_graph_info(g: AsmGraph, out_dir: str, suffix: str) -> None:
     log.info("saved graph level '%s': n_v=%d n_e=%d", suffix, g.n_v, g.n_e)
 
 
+def batch_width(lengths: np.ndarray, lo: int = 64) -> int:
+    """Bucket a batch's max read length to a multiple of 64: short-read
+    batches carry 64/128/... columns instead of a fixed 256, roughly
+    halving the device (k+1)-mer lane count for 100-150 bp libraries
+    while bounding the set of compiled shapes."""
+    m = int(lengths.max()) if len(lengths) else lo
+    return max(lo, -(-m // 64) * 64)
+
+
 def _genomic_batches(cfg: Config, batch_size: int = 4096, pad_to: int = 256):
     """Yield (bases, lengths) batches over all genomic reads (R1 + R2).
 
@@ -73,7 +82,8 @@ def _genomic_batches(cfg: Config, batch_size: int = 4096, pad_to: int = 256):
                 pad = batch_size - len(bases)
                 bases = np.concatenate([bases, np.full((pad, bases.shape[1]), 255, np.uint8)])
                 lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-            yield bases, lengths
+            yield np.ascontiguousarray(
+                bases[:, : batch_width(lengths)]), lengths
 
 
 def build_0(cfg: Config, out_dir: Optional[str] = None) -> AsmGraph:
@@ -201,4 +211,8 @@ def _all_reads_matrix(cfg: Config, pad_to: int = 256):
     for bases, lengths in _genomic_batches(cfg, pad_to=pad_to):
         mats.append(bases)
         lens.append(lengths)
+    W = max(m.shape[1] for m in mats)
+    mats = [m if m.shape[1] == W else np.concatenate(
+        [m, np.full((len(m), W - m.shape[1]), 255, np.uint8)], axis=1)
+        for m in mats]
     return np.concatenate(mats), np.concatenate(lens)
