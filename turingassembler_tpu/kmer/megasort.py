@@ -49,6 +49,20 @@ from ..ops import limbs as lb
 SENTINEL = np.uint32(0xFFFFFFFF)
 
 
+def _lane_bucket(n: int) -> int:
+    """Pad target for a flush's lane count: pow2 buckets below 4M lanes
+    (small jobs — coarse buckets maximize executable reuse across
+    local-assembly gaps), sixteenth-octave buckets above (big
+    mega-chunks — <=6.25%% pad)."""
+    if n <= 0:
+        return 1024
+    p2 = 1 << max(int(n - 1).bit_length(), 10)
+    if n < (4 << 20):
+        return p2
+    h = p2 >> 4
+    return -(-n // h) * h
+
+
 def _needs_validity_key(k1: int) -> bool:
     """True when the all-T (k+1)-mer is bit-identical to the sentinel."""
     return (2 * k1) % 32 == 0
@@ -429,6 +443,16 @@ def count_kedges_megasort(
             return
         catted = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
                        for c in cols_acc)
+        # bucket the lane count so _sort_count executables are reused
+        # across jobs (each distinct shape pays a multi-second program
+        # load over the remote-TPU tunnel; local assemblies run one
+        # small flush per gap): pow2 below 4M lanes, sixteenth-octave
+        # above (<=6% pad on the big mega-chunks)
+        M = catted[0].shape[0]
+        tgt = _lane_bucket(M)
+        if tgt > M:
+            pad = jnp.full((tgt - M,), SENTINEL, jnp.uint32)
+            catted = tuple(jnp.concatenate([c, pad]) for c in catted)
         # uniques never exceed the lane count — small jobs get small buffers
         cap = min(out_cap, 1 << max(int(lanes - 1).bit_length(), 10))
         uniq, counts, n_unique = _sort_count(catted, n_valid, cap, k1)

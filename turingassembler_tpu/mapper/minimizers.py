@@ -129,6 +129,7 @@ class EdgeMinimizerIndex:
     _lut: Optional[np.ndarray] = None
     _lut_bits: int = 0
     _lut_iters: int = 0
+    _padded: Optional[tuple] = None
 
     @property
     def singleton(self) -> np.ndarray:
@@ -140,6 +141,27 @@ class EdgeMinimizerIndex:
             self._lut, self._lut_bits, self._lut_iters = \
                 build_prefix_lut(self.keys)
         return self._lut, self._lut_bits, self._lut_iters
+
+    def padded_tables(self):
+        """(keys, edge, pos, count, lut, bits, iters) with the table
+        rows padded to a pow2 bucket: every distinct device shape pays a
+        multi-second program load over the remote-TPU tunnel, and local
+        assembly builds one index per gap.  The lut spans only the real
+        rows, so sentinel pad rows (count 0) are never probed."""
+        if self._padded is None:
+            lut, bits, iters = self.lookup_tables()
+            M = len(self.keys)
+            Mp = 1 << max(int(max(M, 2) - 1).bit_length(), 10)
+            keys = np.concatenate([
+                self.keys,
+                np.full((Mp - M, self.keys.shape[1]), 0xFFFFFFFF,
+                        np.uint32)])
+            pad1 = lambda a: np.concatenate(
+                [a, np.zeros(Mp - M, a.dtype)])
+            self._padded = (np.ascontiguousarray(keys), pad1(self.edge),
+                            pad1(self.pos), pad1(self.count), lut, bits,
+                            iters)
+        return self._padded
 
     @classmethod
     def build(cls, g: AsmGraph, k: int = MM_K, w: int = MM_W,
@@ -465,11 +487,12 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         edges, hits, starts = map_reads_sharded(
             index, bases, lengths, mesh, batch_size=batch_size)
     else:
-        keys = jnp.asarray(index.keys)
-        edge = jnp.asarray(index.edge)
-        pos = jnp.asarray(index.pos)
-        count = jnp.asarray(index.count)
-        lut_np, bits, iters = index.lookup_tables()
+        keys_np, edge_np, pos_np, count_np, lut_np, bits, iters = \
+            index.padded_tables()
+        keys = jnp.asarray(keys_np)
+        edge = jnp.asarray(edge_np)
+        pos = jnp.asarray(pos_np)
+        count = jnp.asarray(count_np)
         lut = jnp.asarray(lut_np)
         # dispatch every batch before fetching any result: jax dispatch
         # is async, so the device pipelines batches back-to-back while

@@ -70,11 +70,12 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
         return edges, hits, starts
     rep = NamedSharding(mesh, P())
     rep2 = NamedSharding(mesh, P(None, None))
-    keys = jax.device_put(index.keys, rep2)
-    edge = jax.device_put(index.edge, rep)
-    pos = jax.device_put(index.pos, rep)
-    count = jax.device_put(index.count, rep)
-    lut_np, bits, iters = index.lookup_tables()
+    keys_np, edge_np, pos_np, count_np, lut_np, bits, iters = \
+        index.padded_tables()
+    keys = jax.device_put(keys_np, rep2)
+    edge = jax.device_put(edge_np, rep)
+    pos = jax.device_put(pos_np, rep)
+    count = jax.device_put(count_np, rep)
     lut = jax.device_put(lut_np, rep)
     shb = NamedSharding(mesh, P(axis, None))
     shl = NamedSharding(mesh, P(axis))
