@@ -163,53 +163,71 @@ class EdgeMinimizerIndex:
                             iters)
         return self._padded
 
+    SEG = 4096     # content window positions per device row
+    SEG_B = 256    # rows per device batch
+
     @classmethod
-    def build(cls, g: AsmGraph, k: int = MM_K, w: int = MM_W,
-              batch_bp: int = 2_000_000) -> "EdgeMinimizerIndex":
+    def build(cls, g: AsmGraph, k: int = MM_K, w: int = MM_W
+              ) -> "EdgeMinimizerIndex":
         """Index every live edge (reference mm_index_edges :605-621).
 
-        Edges are packed into padded batches by length bucket to bound
-        recompilation; per-edge minimizers stream into one host table
-        that is then sorted + run-length encoded.
+        Edges are chopped into fixed-width overlapping segments so the
+        device minimizer kernel compiles for ONE (SEG_B, SEG + k + w - 2)
+        shape regardless of contig lengths (per-length bucketing
+        compiled a fresh megabyte-wide kernel per contig-size class —
+        minutes over the remote-TPU tunnel).  Overlap w+k-2 means every
+        window lies in exactly one segment; a minimizer position marked
+        from two adjacent segments is an exact duplicate (key, edge,
+        pos) row and is deduped before run-length counting.
         """
+        SEG, B = cls.SEG, cls.SEG_B
+        ov = k + w - 2
+        Wd = SEG + ov
+        span = k + w - 1  # window footprint
         lens = g.edge_len()
-        live = [int(e) for e in np.flatnonzero(g.alive_mask())
-                if lens[e] >= k + w - 1]
-        all_rows = []
-        # bucket edges by padded length (powers of two)
-        by_bucket = {}
-        for e in live:
+        segs_e, segs_s = [], []
+        for e in np.flatnonzero(g.alive_mask()):
             L = int(lens[e])
-            b = 1 << max(8, int(np.ceil(np.log2(L + 1))))
-            by_bucket.setdefault(b, []).append(e)
-        for Lpad, edges in sorted(by_bucket.items()):
-            bs = max(1, batch_bp // Lpad)
-            for i in range(0, len(edges), bs):
-                chunk = edges[i : i + bs]
-                mat = np.full((len(chunk), Lpad), 255, np.uint8)
-                elen = np.zeros(len(chunk), np.int32)
-                for j, e in enumerate(chunk):
-                    s = g.get_seq(e)
-                    mat[j, : len(s)] = s
-                    elen[j] = len(s)
-                km, h, is_mm = minimizer_mask(mat, elen, k, w)
-                km = np.asarray(km)
-                is_mm = np.asarray(is_mm)
-                jj, pp = np.nonzero(is_mm)
-                if len(jj) == 0:
-                    continue
-                rows = np.empty((len(jj), NL + 2), np.uint32)
-                rows[:, :NL] = km[jj, pp]
-                rows[:, NL] = np.asarray(chunk, np.uint32)[jj]
-                rows[:, NL + 1] = pp
-                all_rows.append(rows)
+            if L < span:
+                continue
+            n_pos = L - span + 1
+            for i in range(-(-n_pos // SEG)):
+                segs_e.append(int(e))
+                segs_s.append(i * SEG)
+        all_rows = []
+        for i in range(0, len(segs_e), B):
+            ce = segs_e[i : i + B]
+            csta = segs_s[i : i + B]
+            mat = np.full((B, Wd), 255, np.uint8)
+            elen = np.zeros(B, np.int32)
+            for j, (e, s) in enumerate(zip(ce, csta)):
+                seq = g.get_seq(e)
+                part = seq[s : s + Wd]
+                mat[j, : len(part)] = part
+                elen[j] = len(part)
+            km, h, is_mm = minimizer_mask(mat, elen, k, w)
+            is_mm = np.asarray(is_mm)
+            jj, pp = np.nonzero(is_mm)
+            if len(jj) == 0:
+                continue
+            km = np.asarray(km)
+            rows = np.empty((len(jj), NL + 2), np.uint32)
+            rows[:, :NL] = km[jj, pp]
+            rows[:, NL] = np.asarray(ce, np.uint32)[jj]
+            rows[:, NL + 1] = np.asarray(csta, np.uint32)[jj] + pp
+            all_rows.append(rows)
         if not all_rows:
             z = np.zeros((0, NL), np.uint32)
             return cls(z, np.zeros(0, np.int32), np.zeros(0, np.int32),
                        np.zeros(0, np.int32), k, w)
         rows = np.concatenate(all_rows)
-        order = lb.np_lexsort_rows(rows[:, :NL])
+        order = np.lexsort(tuple(rows[:, c] for c in
+                                 reversed(range(NL + 2))))
         rows = rows[order]
+        # drop exact duplicates from segment overlap
+        uniq_row = np.ones(len(rows), bool)
+        uniq_row[1:] = np.any(rows[1:] != rows[:-1], axis=1)
+        rows = rows[uniq_row]
         starts = np.ones(len(rows), bool)
         starts[1:] = np.any(rows[1:, :NL] != rows[:-1, :NL], axis=1)
         idx = np.flatnonzero(starts)
@@ -286,10 +304,10 @@ def _fmix32(x):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters"))
-def _map_batch(bases, lengths, keys, edge, pos, count, lut,
+def _vote_core(bases, lengths, keys, edge, pos, count, lut,
                k: int, w: int, bits: int, iters: int):
-    """Per-read best-edge vote.  Returns (best_edge (B,) int32 [-1 if
+    """Per-read best-edge vote (trace-level body shared by the plain
+    and verified kernels).  Returns (best_edge (B,) int32 [-1 if
     unmapped/ambiguous], best_hits (B,) int32, est_start (B,) int32).
 
     Three HBM-traffic optimizations over the naive all-lanes lookup
@@ -367,7 +385,77 @@ def _map_batch(bases, lengths, keys, edge, pos, count, lut,
     return (be, best, jnp.where(be >= 0, best_start, -1))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters"))
+def _map_batch(bases, lengths, keys, edge, pos, count, lut,
+               k: int, w: int, bits: int, iters: int):
+    """Vote-only kernel (mesh-sharded path, tests)."""
+    return _vote_core(bases, lengths, keys, edge, pos, count, lut,
+                      k, w, bits, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters",
+                                             "mt", "mm"))
+def _map_batch_verified(bases, lengths, keys, edge, pos, count, lut,
+                        seq_data, seq_off, thr,
+                        k: int, w: int, bits: int, iters: int,
+                        mt: int, mm: int):
+    """Vote + gapless verification in ONE dispatch: the read bases ship
+    H2D once and the fast-path acceptance (gapless score at the voted
+    start clears the per-lane threshold) is decided on device.  Only
+    the rare remainder lanes go through the host DP path.
+
+    Returns (best_edge, best_hits, est_start, bound, fast)."""
+    be, best, bs = _vote_core(bases, lengths, keys, edge, pos, count, lut,
+                              k, w, bits, iters)
+    bound, feas = _gapless_bound_dev(seq_data, seq_off, be, bs, bases,
+                                     lengths, mt, mm, RESCORE_PAD)
+    fast = feas & (bound >= thr)
+    return be, best, bs, bound, fast
+
+
 RESCORE_PAD = 16   # target-window slack around the voted start
+
+_POOL_CACHE: dict = {}   # id(np seq pool) -> (weakref, device arrays)
+
+
+def _device_pool(seq_data: np.ndarray, seq_off: np.ndarray):
+    """Device-resident copy of a graph's packed seq pool, cached per
+    array identity (rescore runs once per 8k-read batch; re-uploading
+    a multi-MB pool each time would dominate)."""
+    import weakref
+    key = id(seq_data)
+    hit = _POOL_CACHE.get(key)
+    if hit is not None and hit[0]() is seq_data:
+        return hit[1]
+    dev = (jnp.asarray(seq_data),
+           jnp.asarray(np.ascontiguousarray(seq_off, np.int32)))
+    if len(_POOL_CACHE) > 8:
+        _POOL_CACHE.clear()
+    _POOL_CACHE[key] = (weakref.ref(seq_data), dev)
+    return dev
+
+
+@functools.partial(jax.jit, static_argnames=("mt", "mm", "pad"))
+def _gapless_bound_dev(seq_data, seq_off, edges, starts, bases, lengths,
+                       mt: int, mm: int, pad: int):
+    """Score of the gapless alignment at the voted offset (a feasible
+    alignment, so a lower bound of the DP optimum) — computed on device
+    so the fast path never builds target windows on the host.
+
+    Returns (bound (N,) int32, feas (N,) bool); feas lanes fit the edge
+    with no indels (s0 + qlen <= edge_len)."""
+    N, Lq = bases.shape
+    e = jnp.maximum(edges, 0).astype(jnp.int32)
+    elen = seq_off[e + 1] - seq_off[e]
+    ql = lengths.astype(jnp.int32)
+    s0 = jnp.clip(starts.astype(jnp.int32), 0, jnp.maximum(elen - 1, 0))
+    feas = ((s0 + ql) <= elen) & (edges >= 0)
+    gidx = seq_off[e][:, None] + s0[:, None] + jnp.arange(Lq)[None, :]
+    tch = seq_data[jnp.clip(gidx, 0, seq_data.shape[0] - 1)]
+    live = jnp.arange(Lq)[None, :] < lengths[:, None]
+    nmatch = jnp.sum(((bases == tch) & live).astype(jnp.int32), axis=1)
+    bound = nmatch * mt + (lengths.astype(jnp.int32) - nmatch) * mm
+    return bound.astype(jnp.int32), feas
 
 
 def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
@@ -412,13 +500,51 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
     mapped = np.flatnonzero(edges >= 0)
     if len(mapped) == 0:
         return accept, scores
-    thr = (np.broadcast_to(np.asarray(min_score), (N,))[mapped]
-           if np.ndim(min_score) else
-           np.full(len(mapped), min_score))
-    e = edges[mapped].astype(np.int64)
-    qlen = lengths[mapped].astype(np.int64)
+    mt, mm = int(scoring[0]), int(scoring[1])
+
+    # gapless fast path at the voted start (feasible when the query
+    # fits the edge with no indels) — computed on device with the lane
+    # count bucketed to pow2 (bridge calls come in per-gap sizes)
+    Np = dp.pad_pow2(N, lo=1024)
+    def pad0(a, fill=0):
+        return a if Np == N else np.concatenate(
+            [a, np.full((Np - N,) + a.shape[1:], fill, a.dtype)])
+    sd, sod = _device_pool(seq_data, seq_off)
+    bound_d, feas_d = _gapless_bound_dev(
+        sd, sod, jnp.asarray(pad0(edges, -1)), jnp.asarray(pad0(starts)),
+        jnp.asarray(pad0(bases, 255)), jnp.asarray(pad0(lengths)),
+        mt, mm, pad)
+    bound = np.asarray(bound_d)[:N].astype(np.int64)
+    feas = np.asarray(feas_d)[:N]
+    thr_all = (np.broadcast_to(np.asarray(min_score), (N,))
+               if np.ndim(min_score) else np.full(N, min_score))
+    mapped_m = edges >= 0
+    fast = feas & (bound >= thr_all) & mapped_m
+    scores[fast] = bound[fast].astype(np.int32)
+    accept[fast] = True
+
+    rest = np.flatnonzero(mapped_m & ~fast)
+    if len(rest) == 0:
+        return accept, scores
+    sc = _dp_verify_rest(seq_data, seq_off, edges, starts, bases, lengths,
+                         rest, scoring, pad)
+    scores[rest] = sc
+    accept[rest] = sc >= thr_all[rest]
+    return accept, scores
+
+
+def _dp_verify_rest(seq_data, seq_off, edges, starts, bases, lengths,
+                    rest: np.ndarray, scoring, pad: int = RESCORE_PAD
+                    ) -> np.ndarray:
+    """Full banded DP for the lanes in `rest` (host window build — the
+    remainder is small on clean libraries); lanes pow2-bucketed.
+    Returns (len(rest),) int32 scores."""
+    from ..ops import dp
+    Lq = bases.shape[1]
+    e = edges[rest].astype(np.int64)
+    qlen = lengths[rest].astype(np.int64)
     elen = (seq_off[e + 1] - seq_off[e]).astype(np.int64)
-    s0 = np.clip(starts[mapped].astype(np.int64), 0, np.maximum(elen - 1, 0))
+    s0 = np.clip(starts[rest].astype(np.int64), 0, np.maximum(elen - 1, 0))
     w0 = np.maximum(s0 - pad, 0)
     w1 = np.minimum(s0 + qlen + pad, elen)
     Lt = Lq + 2 * pad
@@ -426,45 +552,21 @@ def rescore_hits(seq_data: np.ndarray, seq_off: np.ndarray,
     inwin = np.arange(Lt)[None, :] < (w1 - w0)[:, None]
     t = np.where(inwin, seq_data[np.minimum(idx, len(seq_data) - 1)],
                  np.uint8(255))
-    qm = bases[mapped]
-
-    # gapless fast path at the voted offset d0 = s0 - w0 (feasible when
-    # the query fits the window with no indels)
-    mt, mm = int(scoring[0]), int(scoring[1])
-    d0 = s0 - w0
-    feas = (d0 + qlen) <= (w1 - w0)
-    gidx = np.minimum(d0[:, None] + np.arange(Lq)[None, :], Lt - 1)
-    tsh = np.take_along_axis(t, gidx, axis=1)
-    live = np.arange(Lq)[None, :] < qlen[:, None]
-    nmatch = ((qm == tsh) & live).sum(axis=1)
-    bound = (nmatch * mt + (qlen - nmatch) * mm).astype(np.int64)
-    fast = feas & (bound >= thr)
-    scores[mapped[fast]] = bound[fast].astype(np.int32)
-    accept[mapped[fast]] = True
-
-    rest = np.flatnonzero(~fast)
-    if len(rest) == 0:
-        return accept, scores
-    # full DP on the remainder; pad the lane count to a power-of-two
-    # bucket (static compile shapes)
     B = dp.pad_pow2(len(rest), lo=256)
     q = np.full((B, Lq), 255, np.uint8)
-    q[: len(rest)] = qm[rest]
+    q[: len(rest)] = bases[rest]
     tb = np.full((B, Lt), 255, np.uint8)
-    tb[: len(rest)] = t[rest]
+    tb[: len(rest)] = t
     ql = np.zeros(B, np.int32)
-    ql[: len(rest)] = qlen[rest]
+    ql[: len(rest)] = qlen
     tl = np.zeros(B, np.int32)
-    tl[: len(rest)] = (w1 - w0)[rest]
+    tl[: len(rest)] = (w1 - w0)
     sc = dp.affine_scores(q, ql, tb, tl, scoring, band=128, mode="fit")
-    mr = mapped[rest]
-    scores[mr] = sc[: len(rest)]
-    accept[mr] = scores[mr] >= thr[rest]
-    return accept, scores
+    return sc[: len(rest)]
 
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
-              lengths: np.ndarray, batch_size: int = 8192,
+              lengths: np.ndarray, batch_size: int = 16384,
               graph=None, min_score=None, mesh=None):
     """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
     n_hits (N,), est_start (N,)).
@@ -486,39 +588,73 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         from ..parallel.sharded_map import map_reads_sharded
         edges, hits, starts = map_reads_sharded(
             index, bases, lengths, mesh, batch_size=batch_size)
-    else:
-        keys_np, edge_np, pos_np, count_np, lut_np, bits, iters = \
-            index.padded_tables()
-        keys = jnp.asarray(keys_np)
-        edge = jnp.asarray(edge_np)
-        pos = jnp.asarray(pos_np)
-        count = jnp.asarray(count_np)
-        lut = jnp.asarray(lut_np)
-        # dispatch every batch before fetching any result: jax dispatch
-        # is async, so the device pipelines batches back-to-back while
-        # the host only pays one sync at the end (the per-batch fetch
-        # round-trip is ~100 ms on this rig's tunnel)
-        pending = []
-        for i in range(0, N, batch_size):
-            rb = bases[i : i + batch_size]
-            lb_ = lengths[i : i + batch_size]
-            if len(rb) < batch_size:
-                pad = batch_size - len(rb)
-                rb = np.concatenate(
-                    [rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
-                lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
+        if graph is not None:
+            accept, _ = rescore_hits(graph.seq_data, graph.seq_off, edges,
+                                     starts, bases, lengths,
+                                     min_score=min_score)
+            edges = np.where(accept, edges, -1)
+            starts = np.where(accept, starts, -1)
+        return edges, hits, starts
+
+    from ..ops import dp
+    if min_score is None:
+        min_score = dp.MIN_MAP_SCORE
+    thr_all = (np.asarray(np.broadcast_to(min_score, (N,)), np.int32)
+               if np.ndim(min_score) else np.full(N, min_score, np.int32))
+    keys_np, edge_np, pos_np, count_np, lut_np, bits, iters = \
+        index.padded_tables()
+    keys = jnp.asarray(keys_np)
+    edge = jnp.asarray(edge_np)
+    pos = jnp.asarray(pos_np)
+    count = jnp.asarray(count_np)
+    lut = jnp.asarray(lut_np)
+    verified = graph is not None
+    if verified:
+        sd, sod = _device_pool(graph.seq_data, graph.seq_off)
+        mt, mm = int(dp.SCORING_BWA[0]), int(dp.SCORING_BWA[1])
+    bound = np.zeros(N, np.int64)
+    fast = np.zeros(N, bool)
+    # dispatch every batch before fetching any result: jax dispatch is
+    # async, so the device pipelines batches back-to-back while the host
+    # only pays one sync at the end (the per-batch fetch round-trip is
+    # ~100 ms on this rig's tunnel)
+    pending = []
+    for i in range(0, N, batch_size):
+        rb = bases[i : i + batch_size]
+        lb_ = lengths[i : i + batch_size]
+        tb_ = thr_all[i : i + batch_size]
+        if len(rb) < batch_size:
+            pad = batch_size - len(rb)
+            rb = np.concatenate(
+                [rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
+            lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
+            tb_ = np.concatenate(
+                [tb_, np.full(pad, np.int32(1 << 30), np.int32)])
+        if verified:
+            pending.append((i, _map_batch_verified(
+                rb, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
+                index.k, index.w, bits, iters, mt, mm)))
+        else:
             pending.append((i, _map_batch(rb, lb_, keys, edge, pos, count,
                                           lut, index.k, index.w, bits,
                                           iters)))
-        for i, (be, bh, bs) in pending:
-            m = min(batch_size, N - i)
-            edges[i : i + m] = np.asarray(be)[:m]
-            hits[i : i + m] = np.asarray(bh)[:m]
-            starts[i : i + m] = np.asarray(bs)[:m]
-    if graph is not None:
-        accept, _ = rescore_hits(graph.seq_data, graph.seq_off, edges,
-                                 starts, bases, lengths,
-                                 min_score=min_score)
+    for i, out in pending:
+        m = min(batch_size, N - i)
+        edges[i : i + m] = np.asarray(out[0])[:m]
+        hits[i : i + m] = np.asarray(out[1])[:m]
+        starts[i : i + m] = np.asarray(out[2])[:m]
+        if verified:
+            bound[i : i + m] = np.asarray(out[3])[:m]
+            fast[i : i + m] = np.asarray(out[4])[:m]
+    if verified:
+        # gapless fast path decided on device; full DP only on the rest
+        accept = fast & (edges >= 0)
+        rest = np.flatnonzero((edges >= 0) & ~fast)
+        if len(rest):
+            sc = _dp_verify_rest(graph.seq_data, graph.seq_off, edges,
+                                 starts, bases, lengths, rest,
+                                 dp.SCORING_BWA)
+            accept[rest] = sc >= thr_all[rest]
         edges = np.where(accept, edges, -1)
         starts = np.where(accept, starts, -1)
     return edges, hits, starts
