@@ -324,21 +324,21 @@ def _vote_core(bases, lengths, keys, edge, pos, count, lut,
     km, h, is_mm = minimizer_mask(bases, lengths, k, w)
     P = km.shape[1]
 
-    # 1. compact minimizer lanes: slot r of read b = b*MM_CAP + rank
-    rank = jnp.cumsum(is_mm.astype(jnp.int32), axis=1) - 1
-    keep = is_mm & (rank < MM_CAP)
-    Bc = B * MM_CAP
-    dflat = jnp.where(
-        keep, jnp.arange(B, dtype=jnp.int32)[:, None] * MM_CAP + rank,
-        Bc).reshape(-1)
-    ck = jnp.full((Bc, NL), 0xFFFFFFFF, jnp.uint32).at[dflat].set(
-        km.reshape(-1, NL), mode="drop", unique_indices=True)
-    cp = jnp.zeros((Bc,), jnp.int32).at[dflat].set(
-        jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :],
-                         (B, P)).reshape(-1),
-        mode="drop", unique_indices=True)
-    cvalid = jnp.zeros((Bc,), bool).at[dflat].set(
-        jnp.ones((B * P,), bool), mode="drop", unique_indices=True)
+    # 1. compact minimizer lanes to MM_CAP slots per read by GATHER:
+    # row-sort the minimizer positions and take the first MM_CAP —
+    # 4.7x faster than the rank-scatter formulation (a 2.3M-lane
+    # scatter is random-access bound; the row sort + slot gather is
+    # mostly sequential)
+    p_or_big = jnp.where(is_mm, jnp.arange(P, dtype=jnp.int32)[None, :],
+                         jnp.int32(1 << 30))
+    sp = jax.lax.sort(p_or_big, dimension=1)[:, :MM_CAP]
+    cval2 = sp < P
+    spc = jnp.minimum(sp, P - 1)
+    ckg = jnp.take_along_axis(km, spc[:, :, None], axis=1)
+    ck = jnp.where(cval2[:, :, None], ckg,
+                   jnp.uint32(0xFFFFFFFF)).reshape(-1, NL)
+    cp = jnp.where(cval2, spc, 0).reshape(-1)
+    cvalid = cval2.reshape(-1)
 
     # 2. lookup
     idx, found = _lut_search(keys, lut, ck, bits, iters)
