@@ -257,12 +257,11 @@ def cmd_resolve_212_cov(cfg: Config):
 def cmd_build_coverage(cfg: Config):
     """k=31 coverage recount (reference build_coverage_process)."""
     from .io import asmg
-    from .kmer.coverage import recount_coverage
-    from .pipeline import _all_reads_matrix, graph_path
+    from .kmer.coverage import recount_coverage_from_batches
+    from .pipeline import _genomic_batches, graph_path
     set_log_stage("build_coverage")
     g = asmg.load_graph(cfg.in_file)
-    reads, lengths = _all_reads_matrix(cfg)
-    g = recount_coverage(g, reads, lengths)
+    g = recount_coverage_from_batches(g, _genomic_batches(cfg))
     asmg.save_graph(g, graph_path(cfg.out_dir, g.ksize, "recount"))
 
 

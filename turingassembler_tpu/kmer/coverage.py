@@ -81,6 +81,37 @@ def count_reads_into_table(table: np.ndarray, reads: np.ndarray,
     uniq, ucnt = count_kedges_from_reads(
         reads, np.ascontiguousarray(lengths, np.int32), k - 1,
         batch_size=batch_size)
+    return _join_canonical(table, uniq, ucnt, k)
+
+
+def recount_coverage_from_batches(g: AsmGraph, batches,
+                                  k: int = KMER_SIZE_COVERAGE) -> AsmGraph:
+    """Streaming recount: same as recount_coverage but over a
+    (bases, lengths) batch iterable — the library never materializes in
+    RAM (out-of-core posture, SURVEY.md §5.7)."""
+    from .count import count_kedges_from_batches
+    table, edge_rows = build_edge_kmer_table(g, k)
+    counts = np.zeros(len(table), np.int64)
+    if len(table):
+        uniq, ucnt = count_kedges_from_batches(batches, k - 1)
+        counts = _join_canonical(table, uniq, ucnt, k)
+    return _apply_counts(g, table, edge_rows, counts)
+
+
+def recount_coverage(g: AsmGraph, reads: np.ndarray, lengths: np.ndarray,
+                     k: int = KMER_SIZE_COVERAGE) -> AsmGraph:
+    """Replace edge counts with the k=31 recount (reference
+    build_coverage_process, process.c:823-834)."""
+    table, edge_rows = build_edge_kmer_table(g, k)
+    counts = count_reads_into_table(table, reads, lengths, k)
+    return _apply_counts(g, table, edge_rows, counts)
+
+
+def _join_canonical(table: np.ndarray, uniq: np.ndarray, ucnt: np.ndarray,
+                    k: int) -> np.ndarray:
+    """Per-table-entry counts from a canonical unique-count run (see
+    count_reads_into_table for why the equivalence is exact)."""
+    counts = np.zeros(len(table), np.int64)
     if len(uniq) == 0:
         return counts
     rc = lb.np_revcomp_limbs_fast(np.ascontiguousarray(table), k)
@@ -94,15 +125,11 @@ def count_reads_into_table(table: np.ndarray, reads: np.ndarray,
     return counts
 
 
-def recount_coverage(g: AsmGraph, reads: np.ndarray, lengths: np.ndarray,
-                     k: int = KMER_SIZE_COVERAGE) -> AsmGraph:
-    """Replace edge counts with the k=31 recount (reference
-    build_coverage_process, process.c:823-834)."""
-    table, edge_rows = build_edge_kmer_table(g, k)
-    counts = count_reads_into_table(table, reads, lengths, k)
+def _apply_counts(g: AsmGraph, table, edge_rows, counts) -> AsmGraph:
     clamped = np.minimum(counts, MAX_KMER_COUNT)
     new_counts = np.zeros(g.n_e, np.int64)
-    np.add.at(new_counts, edge_rows[:, 1], clamped[edge_rows[:, 0]])
+    if len(edge_rows):
+        np.add.at(new_counts, edge_rows[:, 1], clamped[edge_rows[:, 0]])
     # symmetrize (reference add_cnt_to_graph tail)
     rc = g.edge_rc.copy()
     ok = rc >= 0

@@ -185,8 +185,8 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
         seqs = [s for _, s in read_fasta(ext_path)]
         if seqs:
             g = graph_from_contigs(seqs, cfg.k0)
-            reads, lengths = _all_reads_matrix(cfg)
-            g = recount_coverage(g, reads, lengths)
+            from .kmer.coverage import recount_coverage_from_batches
+            g = recount_coverage_from_batches(g, _genomic_batches(cfg))
             check_graph(g, check_seq=False)
 
     set_log_stage("build_barcode")
@@ -204,15 +204,3 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
     return final
 
 
-def _all_reads_matrix(cfg: Config, pad_to: int = 256):
-    """Materialize all genomic reads as one padded matrix (coverage
-    recount input; bacterial scale fits easily in RAM)."""
-    mats, lens = [], []
-    for bases, lengths in _genomic_batches(cfg, pad_to=pad_to):
-        mats.append(bases)
-        lens.append(lengths)
-    W = max(m.shape[1] for m in mats)
-    mats = [m if m.shape[1] == W else np.concatenate(
-        [m, np.full((len(m), W - m.shape[1]), 255, np.uint8)], axis=1)
-        for m in mats]
-    return np.concatenate(mats), np.concatenate(lens)
