@@ -120,6 +120,31 @@ def test_count_reads_device_roundtrip():
     assert np.array_equal(pull_rows(counts, n).astype(np.int64), cn)
 
 
+def test_clean_wire_vs_masked_wire_parity():
+    """The clean chunk format (no nmask / no length vector on the wire)
+    and the masked fallback must count identically.  Chunk 0 is clean
+    (uniform lengths, no Ns); chunk 1 carries Ns and ragged lengths, so
+    one call exercises BOTH wire formats."""
+    from turingassembler_tpu.kmer.megasort import _clean_chunk_info
+    genome = tt.random_genome(20_000, seed=21)
+    reads, lengths = tt.sim_reads(genome, coverage=10, read_len=96, seed=22)
+    lengths = lengths.astype(np.int32)
+    n = (len(reads) // 512) * 512
+    reads, lengths = reads[:n].copy(), lengths[:n].copy()
+    # dirty the second chunk: Ns + a truncated read
+    reads[512 + 3, 10] = 4
+    reads[512 + 7, 50:] = 255
+    lengths[512 + 7] = 50
+    assert _clean_chunk_info(reads[:512], lengths[:512])[0]
+    assert not _clean_chunk_info(reads[512:1024], lengths[512:1024])[0]
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, 31, engine="np")
+    uniq, counts, nu = count_reads_device(reads, lengths, 31,
+                                          chunk_reads=512, out_cap_log2=17)
+    assert nu == len(kn)
+    assert np.array_equal(pull_rows(uniq, nu), kn)
+    assert np.array_equal(pull_rows(counts, nu).astype(np.int64), cn)
+
+
 # ---------------------------------------------------------------------------
 # device graph build vs the numpy oracle
 # ---------------------------------------------------------------------------

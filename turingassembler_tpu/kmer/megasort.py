@@ -90,6 +90,32 @@ def _extract_chunk_packed(packed, nmask, lengths, L: int, k1: int):
     return _extract_chunk(bases, lengths, k1)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "read_len", "k1"))
+def _extract_chunk_packed_clean(packed, L: int, read_len: int, k1: int):
+    """Clean-chunk variant: no Ns and one uniform read length, so the
+    nmask and per-read length vector never ship — 2 bits/base on the
+    wire (the tunnel runs 30-450 MB/s depending on the day, so bytes
+    are the count stage's wall on bad days)."""
+    B = packed.shape[0]
+    shifts2 = jnp.arange(4, dtype=jnp.uint8) * 2
+    bases = ((packed[:, :, None] >> shifts2[None, None, :]) & 3
+             ).reshape(B, -1)[:, :L].astype(jnp.uint8)
+    lengths = jnp.full((B,), read_len, jnp.int32)
+    return _extract_chunk(bases, lengths, k1)
+
+
+def _clean_chunk_info(rb: np.ndarray, lv: np.ndarray):
+    """(is_clean, read_len) — clean = no N codes and uniform lengths."""
+    if len(lv) == 0:
+        return False, 0
+    rl = int(lv[0])
+    if rl <= 0 or not (lv == rl).all():
+        return False, 0
+    if (rb[:, :rl] >= 4).any():
+        return False, 0
+    return True, rl
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap", "k1"),
                    donate_argnums=(0,))
 def _sort_count(cols, n_valid, out_cap: int, k1: int):
@@ -223,15 +249,24 @@ def ship_chunks(reads: np.ndarray, lengths: np.ndarray, chunk: int,
             pad = chunk - len(rb)
             rb = np.concatenate([rb, np.full((pad, L), 255, np.uint8)])
             lv = np.concatenate([lv, np.zeros(pad, np.int32)])
-        lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
-        if mode == "packed":
-            from .count import host_pack_reads
-            p, m = host_pack_reads(np.ascontiguousarray(rb))
-            return ("packed", jax.device_put(p), jax.device_put(m), lv_d, L)
-        return ("raw", jax.device_put(np.ascontiguousarray(rb)), lv_d)
+        return _ship_record(rb, lv, L, mode)
 
     with ThreadPoolExecutor(min(threads, n_chunks)) as ex:
         return list(ex.map(put, range(n_chunks)))
+
+
+def _ship_record(rb: np.ndarray, lv: np.ndarray, L: int, mode: str):
+    """H2D one chunk; picks the cheapest wire format for its content."""
+    if mode == "packed":
+        from .count import host_pack_reads
+        clean, rl = _clean_chunk_info(rb, lv)
+        p, m = host_pack_reads(np.ascontiguousarray(rb))
+        if clean:
+            return ("packedc", jax.device_put(p), L, rl)
+        lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
+        return ("packed", jax.device_put(p), jax.device_put(m), lv_d, L)
+    lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
+    return ("raw", jax.device_put(np.ascontiguousarray(rb)), lv_d)
 
 
 def extract_shipped(chunk_rec, k1: int):
@@ -239,13 +274,16 @@ def extract_shipped(chunk_rec, k1: int):
     if chunk_rec[0] == "packed":
         _, p, m, lv, L = chunk_rec
         return _extract_chunk_packed(p, m, lv, L, k1)
+    if chunk_rec[0] == "packedc":
+        _, p, L, rl = chunk_rec
+        return _extract_chunk_packed_clean(p, L, rl, k1)
     _, bases_d, lens_d = chunk_rec
     return _extract_chunk(bases_d, lens_d, k1)
 
 
 def count_reads_device(
     reads: np.ndarray, lengths: np.ndarray, k: int, *,
-    chunk_reads: int = 131072, threads: int = 1,
+    chunk_reads: int | None = None, threads: int = 1,
     out_cap_log2: int | None = None, flush_lanes: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Count canonical (k+1)-mers of a read matrix, results staying on
@@ -267,10 +305,13 @@ def count_reads_device(
     nl = lb.n_limbs(k1)
     if out_cap_log2 is None:
         out_cap_log2 = int(os.environ.get("TA_SORT_OUT_LOG2", 22))
+    if chunk_reads is None:
+        # measured A/B on chip (1M-read bench point): 131k-read chunks /
+        # 56M-lane flushes run 2.9-3.6 s where 524k-read chunks with one
+        # 112M-lane sort run 5.0-6.7 s — smaller units keep the H2D
+        # stream and the sort overlapped; one mega-sort serializes them
+        chunk_reads = int(os.environ.get("TA_COUNT_CHUNK", 131072))
     if flush_lanes is None:
-        # 56M lanes/flush measured best at the 1M-read bench point:
-        # fewer, larger sorts beat more overlap (sorts already hide
-        # under the H2D wall; only the tail flush is exposed)
         flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 56 << 20))
 
     n = len(reads)
@@ -285,12 +326,7 @@ def count_reads_device(
             pad = chunk_reads - len(rb)
             rb = np.concatenate([rb, np.full((pad, L), 255, np.uint8)])
             lv = np.concatenate([lv, np.zeros(pad, np.int32)])
-        lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
-        if mode == "packed":
-            from .count import host_pack_reads
-            p, m = host_pack_reads(np.ascontiguousarray(rb))
-            return ("packed", jax.device_put(p), jax.device_put(m), lv_d, L)
-        return ("raw", jax.device_put(np.ascontiguousarray(rb)), lv_d)
+        return _ship_record(rb, lv, L, mode)
 
     chunks: List[tuple] = []          # retained for the overflow retry
     with ThreadPoolExecutor(1) as ex:
@@ -484,14 +520,9 @@ def count_kedges_megasort(
     mode = os.environ.get("TA_SHIP", "packed")
 
     def ship(b, l):
-        l = np.ascontiguousarray(l.astype(np.int32))
-        lv_d = jax.device_put(l)
-        if mode == "packed":
-            from .count import host_pack_reads
-            p, m = host_pack_reads(np.ascontiguousarray(b))
-            return ("packed", jax.device_put(p), jax.device_put(m), lv_d,
-                    b.shape[1])
-        return ("raw", jax.device_put(np.ascontiguousarray(b)), lv_d)
+        return _ship_record(np.ascontiguousarray(b),
+                            np.ascontiguousarray(l.astype(np.int32)),
+                            b.shape[1], mode)
 
     from collections import deque
     with ThreadPoolExecutor(threads) as ex:
