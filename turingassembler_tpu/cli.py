@@ -393,6 +393,215 @@ def cmd_split_molecules(cfg: Config):
     print(out)
 
 
+@command("build_2_3")
+def cmd_build_2_3(cfg: Config):
+    """level_2 -> level_3 (reference build_2_3, src/process.c:218-226:
+    the resolve_chain body is commented out upstream, so the pass is a
+    verified copy of the graph saved under the level_3 suffix)."""
+    from .graph.invariants import check_graph
+    from .io import asmg
+    from .pipeline import save_graph_info
+    set_log_stage("build_2_3")
+    g = asmg.load_graph(cfg.in_file)
+    check_graph(g, check_seq=False)
+    save_graph_info(g, cfg.out_dir, "level_3")
+
+
+@command("build_3_4_nobc")
+def cmd_build_3_4_nobc(cfg: Config):
+    """build_3_4 without rebuilding barcode aux info: the input graph
+    .bin must already carry barcodes (reference
+    build_3_4_no_bc_rebuild_process, src/process.c:757-765)."""
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.barcodes import resolve_n_m_simple
+    set_log_stage("build_3_4_nobc")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_n_m_simple(g)
+    save_graph_info(g, cfg.out_dir, "level_4")
+
+
+@command("build_barcode_coverage")
+def cmd_build_barcode_coverage(cfg: Config):
+    """Barcode aux info + k=31 coverage recount in one pass (reference
+    build_barcode_coverage -> build_barcode_read, src/process.c:256-264,
+    the ASM_BUILD_COVERAGE variant of build_barcode)."""
+    from .barcode.builder import construct_aux_info
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .kmer.coverage import recount_coverage_from_batches
+    from .pipeline import _genomic_batches, graph_path
+    set_log_stage("build_barcode_coverage")
+    g = asmg.load_graph(cfg.in_file)
+    g = recount_coverage_from_batches(g, _genomic_batches(cfg))
+    rpath = ReadPath.from_sorted(cfg)
+    g = construct_aux_info(cfg, g, rpath)
+    from .io.asmg import save_graph
+    save_graph(g, graph_path(cfg.out_dir, g.ksize, "added_barcode"))
+
+
+@command("build_barcode_fasta")
+def cmd_build_barcode_fasta(cfg: Config):
+    """Build a contig graph from a FASTA and attach barcode aux info
+    (reference build_barcode_process_fasta, src/process.c:787-809:
+    load_asm_graph_fasta + longest-edge report + construct_aux_info)."""
+    import numpy as np
+    from .barcode.builder import construct_aux_info
+    from .barcode.sort_read import ReadPath
+    from .graph.from_contigs import graph_from_contigs
+    from .io.asmg import save_graph
+    from .io.fasta import read_fasta
+    from .pipeline import graph_path, save_graph_info
+    set_log_stage("build_barcode_fasta")
+    g = graph_from_contigs([s for _, s in read_fasta(cfg.in_fasta)], cfg.k0)
+    lens = g.edge_len()
+    if g.n_e:
+        le = int(np.argmax(lens))
+        from .logging_utils import get_logger
+        get_logger().info("Longest edge %d_%d, length %d",
+                          le, int(g.edge_rc[le]), int(lens[le]))
+    save_graph_info(g, cfg.out_dir, "from_fasta")
+    rpath = ReadPath.from_sorted(cfg)
+    g = construct_aux_info(cfg, g, rpath)
+    save_graph(g, graph_path(cfg.out_dir, g.ksize, "added_barcode"))
+
+
+@command("build_barcode_fastg")
+def cmd_build_barcode_fastg(cfg: Config):
+    """Load a FASTG graph, attach barcodes, run the n-m simple resolve
+    (reference build_barcode_process_fastg, src/process.c:811-822:
+    load_asm_graph_fastg + build_barcode_read + build_3_4 -> level_4)."""
+    from .barcode.builder import construct_aux_info
+    from .barcode.sort_read import ReadPath
+    from .io.fastg import load_fastg
+    from .pipeline import save_graph_info
+    from .resolve.barcodes import resolve_n_m_simple
+    set_log_stage("build_barcode_fastg")
+    g = load_fastg(cfg.in_fasta, cfg.k0)
+    rpath = ReadPath.from_sorted(cfg)
+    g = construct_aux_info(cfg, g, rpath)
+    g = resolve_n_m_simple(g)
+    save_graph_info(g, cfg.out_dir, "level_4")
+
+
+@command("build_bridge")
+def cmd_build_bridge(cfg: Config):
+    """Scaffold-gap bridging via local assembly (reference build_bridge
+    / local_assembly both dispatch to build_bridge_process,
+    src/main.c:458-461); identical to the local_assembly subcommand."""
+    cmd_local_assembly(cfg)
+
+
+@command("build_scaffolding_1_2")
+def cmd_build_scaffolding_1_2(cfg: Config):
+    """Scaffolding stage under its reference name (reference
+    build_scaffolding_1_2_process, src/process.c:158-177 ->
+    scaffolding() -> scaffolds.fasta); identical to `scaffold`."""
+    cmd_scaffold(cfg)
+
+
+@command("debug_current")
+def cmd_debug_current(cfg: Config):
+    """Read-pair greedy extension dump (reference debug_current ->
+    debug_process -> get_long_contigs_by_readpairs,
+    src/read_pairs_resolve.c:298-393): counts read pairs over the graph,
+    extends long well-covered edges, writes graph_k_<k>_extend.fasta."""
+    from .barcode.builder import get_read_pair_counts
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .pipeline import graph_path
+    from .resolve.readpairs import get_long_contigs_by_readpairs
+    set_log_stage("debug_current")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    rp_counts = get_read_pair_counts(cfg, g, rpath)
+    out = graph_path(cfg.out_dir, g.ksize, "extend", "fasta")
+    print(get_long_contigs_by_readpairs(g, rp_counts, out))
+
+
+@command("debug_get_barcode_graph")
+def cmd_debug_get_barcode_graph(cfg: Config):
+    """Reference name for the barcode-graph molecule dump (reference
+    debug_get_barcode_graph -> print_barcode_graph_process,
+    src/main.c:480-481); identical to `barcode_graph`."""
+    cmd_barcode_graph(cfg)
+
+
+@command("debug_split_molecules")
+def cmd_debug_split_molecules(cfg: Config):
+    """Split molecules for the barcodes listed in a frequency file
+    (reference split_molecules_wrapper, src/process.c:271-305: reads
+    '<barcode>\\t<count>' lines from -f, caps at 50,000 barcodes)."""
+    import os
+    from .barcode.sort_read import ReadPath
+    from .io import asmg
+    from .scaffold.molecules import hit_all_barcodes, order_molecule_edges
+    set_log_stage("debug_split_molecules")
+    g = asmg.load_graph(cfg.in_file)
+    rpath = ReadPath.from_sorted(cfg)
+    wanted = set()
+    with open(cfg.in_fasta) as fp:
+        for line in fp:
+            parts = line.split()
+            if not parts:
+                continue
+            tok = parts[0]
+            if tok.isdigit():
+                wanted.add(int(tok))
+            else:
+                from .io.fastq import decode_barcode_seq
+                wanted.add(decode_barcode_seq(tok.encode()))
+            if len(wanted) >= 50000:   # reference cap, process.c:294
+                break
+    bx_table, _ = hit_all_barcodes(cfg, g, rpath)
+    out = os.path.join(cfg.out_dir, "molecules_by_barcode.txt")
+    with open(out, "w") as fp:
+        for bc in sorted(wanted & set(bx_table)):
+            for chain in order_molecule_edges(g, sorted(bx_table[bc])):
+                fp.write(f"{bc}\n{' '.join(map(str, chain))}\n")
+    print(out)
+
+
+@command("dirty")
+def cmd_dirty(cfg: Config):
+    """Load-and-validate no-op (the reference's dirty() body is empty,
+    src/scaffolding/scaffolding.c:900-902; the subcommand exists only to
+    exercise graph loading)."""
+    from .graph.invariants import check_graph
+    from .io import asmg
+    set_log_stage("dirty")
+    g = asmg.load_graph(cfg.in_file)
+    check_graph(g, check_seq=False)
+    print(f"loaded graph: n_v={g.n_v}, n_e={g.n_e}, k={g.ksize}")
+
+
+@command("resolve_local")
+def cmd_resolve_local(cfg: Config):
+    """Pre-scaffolding local resolution: simple + complex bulge passes,
+    then condense -> level_2 (reference resolve_local_process,
+    src/process.c:493-514)."""
+    from .graph.condense import asm_condense
+    from .io import asmg
+    from .pipeline import save_graph_info
+    from .resolve.bulges import (resolve_complex_bulges_ite,
+                                 resolve_simple_bulges_ite)
+    set_log_stage("resolve_local")
+    g = asmg.load_graph(cfg.in_file)
+    g = resolve_simple_bulges_ite(g)
+    g = resolve_complex_bulges_ite(g)
+    g = asm_condense(g)
+    save_graph_info(g, cfg.out_dir, "level_2")
+
+
+@command("resolve_molecule")
+def cmd_resolve_molecule(cfg: Config):
+    """Long-contig extraction through the barcode graph (reference
+    resolve_molecule_process -> get_long_contig -> get_list_contig,
+    src/process.c:212-216, src/barcode_graph.c:635-732); same flow as
+    `barcode_graph`."""
+    cmd_barcode_graph(cfg)
+
+
 @command("mm_index")
 def cmd_mm_index(cfg: Config):
     """Dump minimizer-index statistics for a graph (reference mm_index
