@@ -78,6 +78,22 @@ def test_megasort_spill_byte_identical(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_c, np.int64), ref_c)
 
 
+def test_megasort_out_cap_overflow_recovers():
+    """More uniques than TA_SORT_OUT_LOG2 allows must NOT raise: the
+    flush re-extracts its retained ship records and re-sorts wider, and
+    the table pre-spills to a host run before any merge could truncate.
+    Regression for the 6.3M-unique hard-fail (out_cap 2^22)."""
+    genome = tt.random_genome(30_000, seed=13)
+    reads, lengths = tt.sim_reads(genome, coverage=8, read_len=100, seed=14,
+                                  error_rate=0.01)
+    kn, cn = kc.count_kedges_from_reads(reads, lengths, 31, engine="np")
+    assert len(kn) > 4096            # far above the forced cap below
+    km_, cm = count_kedges_megasort(_batches(reads, lengths, 512), 31,
+                                    out_cap_log2=10, max_lanes=1 << 13)
+    assert np.array_equal(kn, np.asarray(km_))
+    assert np.array_equal(cn.astype(np.int64), np.asarray(cm, np.int64))
+
+
 def test_external_merge_oracle():
     """np_external_merge_runs vs np_merge_count_runs on random runs,
     with slice boundaries forced tiny so many pivot cuts happen."""

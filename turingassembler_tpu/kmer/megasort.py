@@ -446,6 +446,10 @@ def count_kedges_megasort(
     cols_acc: List[List[jax.Array]] = [[] for _ in range(nl)]
     n_valid = jnp.zeros((), jnp.int32)
     lanes = 0
+    window_recs: List[tuple] = []  # ship records of the current flush
+    # window, retained (~5 MB/chunk packed) so a capacity overflow can
+    # re-extract and re-sort: _sort_count donates its inputs, so the
+    # flat columns themselves are unrecoverable after a truncated sort
 
     def spill_table():
         nonlocal table, table_n, host_bytes, any_disk
@@ -473,31 +477,57 @@ def count_kedges_megasort(
             host_runs.append((k_h, c_h))
             host_bytes += nb
 
-    def flush():
-        nonlocal table, table_n, cols_acc, n_valid, lanes
-        if lanes == 0:
-            return
+    def _cat_and_pad(acc):
+        """Concat accumulated columns and pad lanes to a bucketed size so
+        _sort_count executables are reused across jobs (each distinct
+        shape pays a multi-second program load over the remote-TPU
+        tunnel; local assemblies run one small flush per gap): pow2
+        below 4M lanes, sixteenth-octave above (<=6% pad)."""
         catted = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
-                       for c in cols_acc)
-        # bucket the lane count so _sort_count executables are reused
-        # across jobs (each distinct shape pays a multi-second program
-        # load over the remote-TPU tunnel; local assemblies run one
-        # small flush per gap): pow2 below 4M lanes, sixteenth-octave
-        # above (<=6% pad on the big mega-chunks)
+                       for c in acc)
         M = catted[0].shape[0]
         tgt = _lane_bucket(M)
         if tgt > M:
             pad = jnp.full((tgt - M,), SENTINEL, jnp.uint32)
             catted = tuple(jnp.concatenate([c, pad]) for c in catted)
+        return catted
+
+    def flush():
+        nonlocal table, table_n, cols_acc, n_valid, lanes
+        if lanes == 0:
+            window_recs.clear()
+            return
+        catted = _cat_and_pad(cols_acc)
         # uniques never exceed the lane count — small jobs get small buffers
-        cap = min(out_cap, 1 << max(int(lanes - 1).bit_length(), 10))
+        lane_pow2 = 1 << max(int(lanes - 1).bit_length(), 10)
+        cap = min(out_cap, lane_pow2)
         uniq, counts, n_unique = _sort_count(catted, n_valid, cap, k1)
         n_u = int(n_unique)
-        if n_u > cap:
-            raise RuntimeError(
-                f"megasort overflow: {n_u} unique > {cap}; "
-                f"raise TA_SORT_OUT_LOG2")
+        cols_acc = [[] for _ in range(nl)]   # donated to _sort_count
+        while n_u > cap:
+            # capacity overflow: the sorted tail was dropped, and the
+            # donated columns are gone with it — re-extract the window
+            # from its retained ship records and re-sort wider
+            cap = min(2 * cap, lane_pow2)
+            acc2: List[List[jax.Array]] = [[] for _ in range(nl)]
+            nv2 = jnp.zeros((), jnp.int32)
+            for rec in window_recs:
+                cols, nv = extract_shipped(rec, k1)
+                for l, c in enumerate(cols):
+                    acc2[l].append(c)
+                nv2 = nv2 + nv
+            uniq, counts, n_unique = _sort_count(
+                _cat_and_pad(acc2), nv2, cap, k1)
+            n_u = int(n_unique)
+        window_recs.clear()
         if table is None:
+            table = (uniq, counts)
+            table_n = n_u
+        elif table_n + n_u > out_cap:
+            # a merge at out_cap would truncate (and _merge_unique_runs
+            # donates both runs, losing them) — spill the device table
+            # to a host run first; the final k-way merge sums dup keys
+            spill_table()
             table = (uniq, counts)
             table_n = n_u
         else:
@@ -505,13 +535,8 @@ def count_kedges_megasort(
                        1 << max(int(table_n + n_u - 1).bit_length(), 10))
             mk, mc, mn = _merge_unique_runs(table[0], table[1], uniq, counts,
                                             mcap)
-            if int(mn) > mcap:
-                raise RuntimeError(
-                    f"megasort merge overflow: {int(mn)} unique > {mcap}; "
-                    f"raise TA_SORT_OUT_LOG2")
             table = (mk, mc)
             table_n = int(mn)
-        cols_acc = [[] for _ in range(nl)]
         n_valid = jnp.zeros((), jnp.int32)
         lanes = 0
         if device_lanes and table_n >= device_lanes:
@@ -539,7 +564,9 @@ def count_kedges_megasort(
                 futs.append(ex.submit(ship, bases, lengths))
             if not futs:
                 break
-            cols, nv = extract_shipped(futs.popleft().result(), k1)
+            rec = futs.popleft().result()
+            window_recs.append(rec)
+            cols, nv = extract_shipped(rec, k1)
             for l, c in enumerate(cols):
                 cols_acc[l].append(c)
             n_valid = n_valid + nv
