@@ -450,6 +450,9 @@ def count_kedges_megasort(
     # window, retained (~5 MB/chunk packed) so a capacity overflow can
     # re-extract and re-sort: _sort_count donates its inputs, so the
     # flat columns themselves are unrecoverable after a truncated sort
+    cap_hint = 0  # sticky: once a flush overflows, later flushes start
+    # at the capacity that worked — error-laden libraries (unique-dense)
+    # pay the re-extract retry once, not per flush
 
     def spill_table():
         nonlocal table, table_n, host_bytes, any_disk
@@ -493,14 +496,14 @@ def count_kedges_megasort(
         return catted
 
     def flush():
-        nonlocal table, table_n, cols_acc, n_valid, lanes
+        nonlocal table, table_n, cols_acc, n_valid, lanes, cap_hint
         if lanes == 0:
             window_recs.clear()
             return
         catted = _cat_and_pad(cols_acc)
         # uniques never exceed the lane count — small jobs get small buffers
         lane_pow2 = 1 << max(int(lanes - 1).bit_length(), 10)
-        cap = min(out_cap, lane_pow2)
+        cap = min(max(out_cap, cap_hint), lane_pow2)
         uniq, counts, n_unique = _sort_count(catted, n_valid, cap, k1)
         n_u = int(n_unique)
         cols_acc = [[] for _ in range(nl)]   # donated to _sort_count
@@ -519,20 +522,24 @@ def count_kedges_megasort(
             uniq, counts, n_unique = _sort_count(
                 _cat_and_pad(acc2), nv2, cap, k1)
             n_u = int(n_unique)
+            cap_hint = max(cap_hint, cap)
         window_recs.clear()
         if table is None:
             table = (uniq, counts)
             table_n = n_u
-        elif table_n + n_u > out_cap:
-            # a merge at out_cap would truncate (and _merge_unique_runs
-            # donates both runs, losing them) — spill the device table
-            # to a host run first; the final k-way merge sums dup keys
+        elif device_lanes and table_n + n_u > device_lanes:
+            # the -sm device budget would truncate the merge (and
+            # _merge_unique_runs donates both runs, losing them) — spill
+            # the device table to a host run first; the final k-way
+            # merge sums duplicate keys across runs
             spill_table()
             table = (uniq, counts)
             table_n = n_u
         else:
-            mcap = min(out_cap,
-                       1 << max(int(table_n + n_u - 1).bit_length(), 10))
+            # pow2 of the true size never truncates; out_cap bounds only
+            # the per-flush sort output, not the running table (that is
+            # TA_SORT_DEVICE_LANES' job)
+            mcap = 1 << max(int(table_n + n_u - 1).bit_length(), 10)
             mk, mc, mn = _merge_unique_runs(table[0], table[1], uniq, counts,
                                             mcap)
             table = (mk, mc)
