@@ -57,8 +57,10 @@ class AsmGraph:
         return len(self.edge_source)
 
     def edge_len(self, e=None) -> np.ndarray:
-        lens = self.seq_off[1:] - self.seq_off[:-1]
-        return lens if e is None else lens[e]
+        if e is None:
+            return self.seq_off[1:] - self.seq_off[:-1]
+        e = np.asarray(e)
+        return self.seq_off[e + 1] - self.seq_off[e]
 
     def edge_lens_with_holes(self) -> np.ndarray:
         """Sequence length including N-gap hole lengths (reference
