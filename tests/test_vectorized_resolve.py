@@ -111,3 +111,52 @@ def test_scale_100k_edges():
     assert int(r.alive_mask().sum()) < n0 // 10
     print(f"full resolve on {n0}-edge graph: {t_full:.1f}s "
           f"-> {int(r.alive_mask().sum())} edges")
+
+
+def _condense_key(g):
+    """FULL structural fingerprint for condense parity: exact arrays."""
+    return (g.node_rc.tolist(), g.edge_source.tolist(), g.edge_target.tolist(),
+            g.edge_rc.tolist(), g.edge_count.tolist(), g.seq_off.tolist(),
+            g.seq_data.tobytes(),
+            {e: (p.tolist(), l.tolist()) for e, (p, l) in sorted(g.holes.items())})
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27, 42])
+def test_condense_fast_parity(seed):
+    from turingassembler_tpu.graph.condense import asm_condense_fast, asm_condense_py
+    g = _error_graph(20000, seed)
+    gf, mf = asm_condense_fast(g.clone(), return_map=True)
+    gp, mp = asm_condense_py(g.clone(), return_map=True)
+    assert _condense_key(gf) == _condense_key(gp)
+    assert mf.tolist() == mp.tolist()
+
+
+def test_condense_fast_parity_with_holes_and_tombstones(seed=7):
+    from turingassembler_tpu.graph.condense import asm_condense_fast, asm_condense_py
+    g = _error_graph(15000, seed)
+    rng = np.random.default_rng(seed)
+    # tombstone a few rc pairs
+    live = np.flatnonzero(g.alive_mask())
+    for e in rng.choice(live, size=min(6, len(live)), replace=False):
+        g.remove_edge(int(e))
+    # sprinkle holes on a few surviving long edges
+    lens = g.edge_len()
+    cand = [int(e) for e in np.flatnonzero(g.alive_mask()) if lens[e] > 40][:4]
+    for e in cand:
+        g.holes[e] = (np.array([10, 20], np.int64), np.array([5, 3], np.int64))
+        rc = int(g.edge_rc[e])
+        if rc != e and rc not in g.holes:
+            L = int(lens[rc])
+            g.holes[rc] = (np.array([L - 2 - 20, L - 2 - 10], np.int64),
+                           np.array([3, 5], np.int64))
+    gf = asm_condense_fast(g.clone())
+    gp = asm_condense_py(g.clone())
+    assert _condense_key(gf) == _condense_key(gp)
+
+
+def test_condense_fast_empty():
+    from turingassembler_tpu.graph.condense import asm_condense_fast
+    from turingassembler_tpu.graph.structs import AsmGraph
+    g = AsmGraph(ksize=31)
+    g2 = asm_condense_fast(g)
+    assert g2.n_e == 0 and g2.n_v == 0
