@@ -40,7 +40,7 @@ RP_FULL_LEN_SLACK = 30    # DP-score stand-in for rp_count_mapper's
                           # aligned == read_len gate (barcode_builder.c:677)
 
 
-def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 16384, pad_to: int = 256):
+def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 131072, pad_to: int = 256):
     """Stream (bases1, len1, bases2, len2, barcodes) batches from the
     sorted archive via the native loader (the python FASTQ parse was
     the aux-info stage's second-largest cost); batch widths bucket to

@@ -104,8 +104,12 @@ def _front(uniq, counts, n, k: int):
     adj = jnp.zeros((8 * m_cap + 1,), bool)
     adj = adj.at[w1].set(True, mode="drop")
     adj = adj.at[w2].set(True, mode="drop")
-    degs = adj[:8 * m_cap].reshape(m_cap, 2, 4).sum(axis=2).astype(I32)
-    degs_flat = degs.reshape(-1)                    # (2*m_cap,) per (node, orient)
+    # per-(node, orient) degree = sum of 4 adjacent bits; strided 1-D
+    # slices keep everything (2*m_cap,) — a reshape(m_cap, 2, 4).sum(2)
+    # pads the minor dims to (8, 128) on TPU (32x HBM blowup at capK=8M)
+    adj8 = adj[:8 * m_cap]
+    degs_flat = (adj8[0::4].astype(I32) + adj8[1::4].astype(I32)
+                 + adj8[2::4].astype(I32) + adj8[3::4].astype(I32))
 
     # directed k-edges: [0, capK) canonical orientation, [capK, 2capK) rc
     src_node = jnp.concatenate([node_pre, node_suf])
@@ -242,10 +246,11 @@ def _assemble(uniq, counts, n, src_key, tgt_key, lastbase, head_of, dist,
     ldst = jnp.where(gate, jnp.take(seq_off, u_of, mode="clip") + k + dist,
                      seq_cap)
     seq = seq.at[ldst].set(lastbase, mode="drop")
-    # pack 4 bases/byte for the host pull
-    pb = seq[:seq_cap].reshape(-1, 4).astype(jnp.uint32)
-    seq_packed = (pb[:, 0] | (pb[:, 1] << 2) | (pb[:, 2] << 4)
-                  | (pb[:, 3] << 6)).astype(jnp.uint8)
+    # pack 4 bases/byte for the host pull (strided slices, not a
+    # (-1, 4) reshape whose minor dim pads to 128 on TPU)
+    sq = seq[:seq_cap]
+    seq_packed = (sq[0::4] | (sq[1::4] << 2) | (sq[2::4] << 4)
+                  | (sq[3::4] << 6)).astype(jnp.uint8)
 
     counts_d = jnp.concatenate([counts, counts])
     ecount = jnp.zeros((head_cap + 1,), I32).at[

@@ -227,6 +227,45 @@ def _merge_unique_runs(ka, ca, kb, cb, out_cap: int):
     return uniq, counts, n_unique
 
 
+def _coalesce_batches(batches, target_reads: int):
+    """Merge a stream of (bases, lengths) host batches into records of
+    exactly `target_reads` rows (width = max width in the group, padded
+    with 255; the tail record is padded to full size too) so ship +
+    extract executables are reused and dispatch counts stay low."""
+    buf: List[tuple] = []
+    nb = 0
+
+    def _cat():
+        nonlocal buf, nb
+        W = max(b.shape[1] for b, _ in buf)
+        rows = []
+        for b, _ in buf:
+            if b.shape[1] < W:
+                b = np.concatenate(
+                    [b, np.full((len(b), W - b.shape[1]), 255, np.uint8)], 1)
+            rows.append(b)
+        n = sum(len(b) for b in rows)
+        if n < target_reads:
+            rows.append(np.full((target_reads - n, W), 255, np.uint8))
+        bases = np.concatenate(rows)
+        lens = np.concatenate([l for _, l in buf] +
+                              ([np.zeros(target_reads - n, np.int32)]
+                               if n < target_reads else []))
+        buf, nb = [], 0
+        return bases, lens.astype(np.int32)
+
+    for b, l in batches:
+        while len(b):
+            take = min(len(b), target_reads - nb)
+            buf.append((b[:take], l[:take]))
+            nb += take
+            b, l = b[take:], l[take:]
+            if nb >= target_reads:
+                yield _cat()
+    if nb:
+        yield _cat()
+
+
 def ship_chunks(reads: np.ndarray, lengths: np.ndarray, chunk: int,
                 threads: int = 8, mode: str | None = None) -> List[tuple]:
     """Threaded H2D of read chunks, tail zero-padded.
@@ -412,10 +451,57 @@ def pull_rows(arr: jax.Array, n: int, threads: int = 4) -> np.ndarray:
     return np.concatenate(out, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("min_count",),
+                   donate_argnums=(0, 1))
+def _filter_min_count_device(keys, counts, n, min_count: int):
+    """Drop rows with count < min_count, keeping sorted order and
+    sentinel padding (the -mc filter, applied before the level-0 build
+    so the table never round-trips to host)."""
+    cap = keys.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = (idx < n) & (counts >= min_count)
+    n2 = jnp.sum(live.astype(jnp.int32))
+    key2 = jnp.where(live, idx.astype(jnp.uint32),
+                     jnp.uint32(0x80000000) | idx.astype(jnp.uint32))
+    (s2,) = jax.lax.sort((key2,), num_keys=1)
+    pos = (s2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    live2 = idx < n2
+    posc = jnp.where(live2, pos, 0)
+    keys2 = jnp.where(live2[:, None], jnp.take(keys, posc, axis=0), SENTINEL)
+    counts2 = jnp.where(live2, jnp.take(counts, posc), 0)
+    return keys2, counts2, n2
+
+
+def count_kedges_megasort_device(
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]], k: int,
+    min_count: int = 1, **kw):
+    """Like count_kedges_megasort but returns the DEVICE table
+    (uniq (cap, nl) uint32 sentinel-padded, counts (cap,) int32, n int)
+    so the level-0 build can run on device without pulling the table.
+    Falls back to host arrays (2-tuple) when the -sm budget forced a
+    host/disk spill."""
+    res = count_kedges_megasort(batches, k, min_count=1,
+                                _return_device=True, **kw)
+    if len(res) == 2:            # spilled: host arrays
+        kedges, counts = res
+        if min_count > 1 and len(counts):
+            keep = counts >= min_count
+            kedges, counts = kedges[keep], counts[keep]
+        return kedges, counts
+    uniq, counts, n = res
+    if min_count > 1 and n:
+        uniq, counts, n_d = _filter_min_count_device(uniq, counts,
+                                                     jnp.asarray(n, jnp.int32),
+                                                     min_count)
+        n = int(n_d)
+    return uniq, counts, n
+
+
 def count_kedges_megasort(
     batches: Iterable[Tuple[np.ndarray, np.ndarray]], k: int,
     min_count: int = 1, *, max_lanes: int | None = None,
     out_cap_log2: int | None = None, threads: int = 8,
+    _return_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Streaming host API over (bases, lengths) batches: mega-chunks are
     sorted+deduped on device; unique runs merge LSM-style.  Returns host
@@ -556,6 +642,13 @@ def count_kedges_megasort(
                             np.ascontiguousarray(l.astype(np.int32)),
                             b.shape[1], mode)
 
+    # coalesce small loader batches into full-size ship records: every
+    # record costs a fixed multi-ms relay round trip per device_put and
+    # per extract dispatch, so 4096-read parser batches would pay ~30x
+    # the dispatch tax of the 131072-read records the bench path uses
+    batches = _coalesce_batches(
+        batches, int(os.environ.get("TA_COUNT_CHUNK", 131072)))
+
     from collections import deque
     with ThreadPoolExecutor(threads) as ex:
         futs: deque = deque()
@@ -590,6 +683,8 @@ def count_kedges_megasort(
             out_dir=spill_dir if any_disk else None)
     if table is None:
         return np.zeros((0, nl), np.uint32), np.zeros(0, np.int64)
+    if _return_device:
+        return table[0], table[1], table_n
     keys_d, counts_d = table
     n = table_n
     keys = pull_rows(keys_d, n, threads=4)

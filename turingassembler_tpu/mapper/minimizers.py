@@ -130,6 +130,20 @@ class EdgeMinimizerIndex:
     _lut_bits: int = 0
     _lut_iters: int = 0
     _padded: Optional[tuple] = None
+    _dev: Optional[tuple] = None
+
+    def device_tables(self):
+        """(keys, edge, pos, count, lut) as DEVICE arrays, shipped once
+        and cached: aux-info streams the library in dozens of map_reads
+        calls against one index, and re-putting the multi-MB tables per
+        call paid the tunnel latency each time."""
+        if self._dev is None:
+            (keys_np, edge_np, pos_np, count_np, lut_np, bits,
+             iters) = self.padded_tables()
+            self._dev = (jnp.asarray(keys_np), jnp.asarray(edge_np),
+                         jnp.asarray(pos_np), jnp.asarray(count_np),
+                         jnp.asarray(lut_np), bits, iters)
+        return self._dev
 
     @property
     def singleton(self) -> np.ndarray:
@@ -601,13 +615,7 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         min_score = dp.MIN_MAP_SCORE
     thr_all = (np.asarray(np.broadcast_to(min_score, (N,)), np.int32)
                if np.ndim(min_score) else np.full(N, min_score, np.int32))
-    keys_np, edge_np, pos_np, count_np, lut_np, bits, iters = \
-        index.padded_tables()
-    keys = jnp.asarray(keys_np)
-    edge = jnp.asarray(edge_np)
-    pos = jnp.asarray(pos_np)
-    count = jnp.asarray(count_np)
-    lut = jnp.asarray(lut_np)
+    keys, edge, pos, count, lut, bits, iters = index.device_tables()
     verified = graph is not None
     if verified:
         sd, sod = _device_pool(graph.seq_data, graph.seq_off)

@@ -52,12 +52,13 @@ def save_graph_info(g: AsmGraph, out_dir: str, suffix: str) -> None:
 
 
 def batch_width(lengths: np.ndarray, lo: int = 64) -> int:
-    """Bucket a batch's max read length to a multiple of 64: short-read
-    batches carry 64/128/... columns instead of a fixed 256, roughly
-    halving the device (k+1)-mer lane count for 100-150 bp libraries
-    while bounding the set of compiled shapes."""
+    """Bucket a batch's max read length to a multiple of 8: a uniform
+    library yields one width (150 bp -> 152, the same shape the bench
+    executables use), and every 8 columns of padding above the true
+    read length would be dead sentinel lanes through the count sorts
+    (64-column bucketing shipped 192 for 150 bp reads = +27% lanes)."""
     m = int(lengths.max()) if len(lengths) else lo
-    return max(lo, -(-m // 64) * 64)
+    return max(lo, -(-m // 8) * 8)
 
 
 def _genomic_batches(cfg: Config, batch_size: int = 4096, pad_to: int = 256):
@@ -99,12 +100,44 @@ def build_0(cfg: Config, out_dir: Optional[str] = None) -> AsmGraph:
     # runs the megasort engine spills to disk and k-way merges
     os.environ.setdefault("TA_SORT_HOST_MB", str(cfg.mmem_gb * 1024))
     os.environ.setdefault("TA_SPILL_DIR", os.path.join(out_dir, "spill"))
-    kedges, counts = count_kedges_from_batches(
-        _genomic_batches(cfg), k, min_count=cfg.device.min_kmer_count)
-    log.info("counted %d unique (k+1)-mers in %.1fs", len(kedges), time.time() - t0)
-    g = build_graph_from_kedges(kedges, counts, k)
+    import jax
+    if jax.default_backend() != "cpu":
+        # TPU: table stays on device and feeds the device unitig build —
+        # the 6-7M-row k-edge pull + host walk was build_0's second wall
+        from .graph.device_build import build_graph_on_device
+        from .kmer.megasort import count_kedges_megasort_device
+        res = count_kedges_megasort_device(
+            _genomic_batches(cfg), k, min_count=cfg.device.min_kmer_count)
+        if len(res) == 3:
+            uniq_d, counts_d, n_u = res
+            log.info("counted %d unique (k+1)-mers in %.1fs (device table)",
+                     n_u, time.time() - t0)
+            t0 = time.time()
+            # error-laden libraries run ~1 unitig per 10 k-edges; start
+            # head_cap high enough that the doubling retry (a fresh
+            # compile per head_cap) almost never fires
+            head_cap = 1 << max(16, int(max(n_u // 8, 1) - 1).bit_length())
+            g = build_graph_on_device(uniq_d, counts_d, n_u, k,
+                                      head_cap=head_cap)
+        else:                     # -sm spill forced the table to host
+            kedges, counts = res
+            log.info("counted %d unique (k+1)-mers in %.1fs (spilled)",
+                     len(kedges), time.time() - t0)
+            t0 = time.time()
+            g = build_graph_from_kedges(kedges, counts, k)
+    else:
+        kedges, counts = count_kedges_from_batches(
+            _genomic_batches(cfg), k, min_count=cfg.device.min_kmer_count)
+        log.info("counted %d unique (k+1)-mers in %.1fs",
+                 len(kedges), time.time() - t0)
+        t0 = time.time()
+        g = build_graph_from_kedges(kedges, counts, k)
+    log.info("level-0 build in %.1fs: n_v=%d n_e=%d", time.time() - t0,
+             g.n_v, g.n_e)
+    t0 = time.time()
     check_graph(g, check_seq=False)
     save_graph_info(g, out_dir, "level_0")
+    log.info("check+save in %.1fs", time.time() - t0)
     return g
 
 
