@@ -146,21 +146,39 @@ def _front(uniq, counts, n, k: int):
 def _rank_chains(prev_ptr):
     """(head index, distance) per element via packed-row pointer doubling.
 
-    Wyllie's algorithm: ceil(log2 D)+1 rounds of ONE (D,2)-row gather
-    each (~230M rows/s measured on the v5e).  A two-level spine variant
-    (stop-set doubling to a static 1/16 sample, then ranking the compact
-    spine list) was built and measured SLOWER (0.67s vs 0.50s at D=4.2M,
-    round-2 notes) — the extra where/bit-decode per round costs more
-    than the rounds it saves, so the simple form stays.
+    Wyllie's algorithm: up to ceil(log2 D)+1 rounds of ONE (D,2)-row
+    gather each (~230M rows/s measured on the v5e).  A two-level spine
+    variant (stop-set doubling to a static 1/16 sample, then ranking the
+    compact spine list) was built and measured SLOWER (0.67s vs 0.50s at
+    D=4.2M, round-2 notes) — the extra where/bit-decode per round costs
+    more than the rounds it saves, so the simple form stays.
+
+    Early exit: the loop runs only ceil(log2(longest chain))+1 rounds —
+    a lane is settled once its ancestor is a head (gathered dist
+    increment 0), and the while_loop stops when every lane is.  Real
+    error-laden libraries run ~1 unitig per 10 k-edges (short chains,
+    ~half the rounds); the worst case (one genome-length unitig, the
+    bench workload) still needs every round, paying only a cheap (D,)
+    any() reduction per round for the convergence test.
     """
     D = prev_ptr.shape[0]
     d_idx = jnp.arange(D, dtype=I32)
     anc = jnp.where(prev_ptr < 0, d_idx, prev_ptr)
-    st = jnp.stack([anc, (prev_ptr >= 0).astype(I32)], axis=1)
+    st0 = jnp.stack([anc, (prev_ptr >= 0).astype(I32)], axis=1)
     rounds = max(1, int(np.ceil(np.log2(max(D, 2)))) + 1)
-    for _ in range(rounds):
+
+    def cond(c):
+        st, changed, r = c
+        return changed & (r < rounds)
+
+    def body(c):
+        st, _, r = c
         g = jnp.take(st, st[:, 0], axis=0, mode="clip")
-        st = jnp.stack([g[:, 0], st[:, 1] + g[:, 1]], axis=1)
+        nst = jnp.stack([g[:, 0], st[:, 1] + g[:, 1]], axis=1)
+        return nst, jnp.any(g[:, 1] > 0), r + 1
+
+    st, _, _ = jax.lax.while_loop(
+        cond, body, (st0, jnp.asarray(True), jnp.zeros((), I32)))
     return st[:, 0], st[:, 1]
 
 

@@ -407,12 +407,10 @@ def _map_batch(bases, lengths, keys, edge, pos, count, lut,
                       k, w, bits, iters)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters",
-                                             "mt", "mm"))
-def _map_batch_verified(bases, lengths, keys, edge, pos, count, lut,
-                        seq_data, seq_off, thr,
-                        k: int, w: int, bits: int, iters: int,
-                        mt: int, mm: int):
+def _verified_core(bases, lengths, keys, edge, pos, count, lut,
+                   seq_data, seq_off, thr,
+                   k: int, w: int, bits: int, iters: int,
+                   mt: int, mm: int):
     """Vote + gapless verification in ONE dispatch: the read bases ship
     H2D once and the fast-path acceptance (gapless score at the voted
     start clears the per-lane threshold) is decided on device.  Only
@@ -425,6 +423,42 @@ def _map_batch_verified(bases, lengths, keys, edge, pos, count, lut,
                                      lengths, mt, mm, RESCORE_PAD)
     fast = feas & (bound >= thr)
     return be, best, bs, bound, fast
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters",
+                                             "mt", "mm"))
+def _map_batch_verified(bases, lengths, keys, edge, pos, count, lut,
+                        seq_data, seq_off, thr,
+                        k: int, w: int, bits: int, iters: int,
+                        mt: int, mm: int):
+    return _verified_core(bases, lengths, keys, edge, pos, count, lut,
+                          seq_data, seq_off, thr, k, w, bits, iters, mt, mm)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "k", "w", "bits", "iters",
+                                             "mt", "mm"))
+def _map_batch_verified_packed(packed, nmask, lengths, keys, edge, pos,
+                               count, lut, seq_data, seq_off, thr, L: int,
+                               k: int, w: int, bits: int, iters: int,
+                               mt: int, mm: int):
+    """Packed-wire variant: reads ship at 2.25 bits/base and unpack on
+    device (same trick as kmer/megasort._extract_chunk_packed).  The
+    host<->device tunnel swings 4-450 MB/s between sessions; on slow
+    days the raw uint8 batches were the aux-info stage's wall."""
+    from ..kmer.count import device_unpack_reads
+    bases = device_unpack_reads(packed, nmask, L)
+    return _verified_core(bases, lengths, keys, edge, pos, count, lut,
+                          seq_data, seq_off, thr, k, w, bits, iters, mt, mm)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "k", "w", "bits", "iters"))
+def _map_batch_packed(packed, nmask, lengths, keys, edge, pos, count, lut,
+                      L: int, k: int, w: int, bits: int, iters: int):
+    """Packed-wire vote-only kernel (see _map_batch_verified_packed)."""
+    from ..kmer.count import device_unpack_reads
+    bases = device_unpack_reads(packed, nmask, L)
+    return _vote_core(bases, lengths, keys, edge, pos, count, lut,
+                      k, w, bits, iters)
 
 
 RESCORE_PAD = 16   # target-window slack around the voted start
@@ -625,7 +659,10 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
     # dispatch every batch before fetching any result: jax dispatch is
     # async, so the device pipelines batches back-to-back while the host
     # only pays one sync at the end (the per-batch fetch round-trip is
-    # ~100 ms on this rig's tunnel)
+    # ~100 ms on this rig's tunnel).  Reads ship bit-packed by default
+    # (TA_SHIP=raw opts out) — the same wire format as the count stage.
+    import os
+    pack_wire = os.environ.get("TA_SHIP", "packed") == "packed"
     pending = []
     for i in range(0, N, batch_size):
         rb = bases[i : i + batch_size]
@@ -638,7 +675,18 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
             lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
             tb_ = np.concatenate(
                 [tb_, np.full(pad, np.int32(1 << 30), np.int32)])
-        if verified:
+        if pack_wire:
+            from ..kmer.count import host_pack_reads
+            pk, nm = host_pack_reads(np.ascontiguousarray(rb))
+            if verified:
+                pending.append((i, _map_batch_verified_packed(
+                    pk, nm, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
+                    rb.shape[1], index.k, index.w, bits, iters, mt, mm)))
+            else:
+                pending.append((i, _map_batch_packed(
+                    pk, nm, lb_, keys, edge, pos, count, lut,
+                    rb.shape[1], index.k, index.w, bits, iters)))
+        elif verified:
             pending.append((i, _map_batch_verified(
                 rb, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
                 index.k, index.w, bits, iters, mt, mm)))
