@@ -159,6 +159,61 @@ def _bulk_attach(g: AsmGraph, lens, edges: np.ndarray, pos: np.ndarray,
                 d[bc_] = d.get(bc_, 0) + int(c_)
 
 
+def _mirror_hits(g: AsmGraph, lens: np.ndarray, e: np.ndarray,
+                 p: np.ndarray, ql: np.ndarray):
+    """Second strand record of every hit: (rc(e), len - pos - aligned).
+
+    The reference indexes every edge AND its rc as separate FASTA
+    records (write_fasta_seq, src/barcode_resolve2.c:1476-1488), so a
+    uniquely-placed read yields exactly 2 best alignments — one per
+    strand record — and read_mapper attaches/combines BOTH
+    (src/barcode_builder.c:787-891, the ar.n == 2 gate).  The minimizer
+    voter returns only the forward-matching record; this derives the
+    mirror.  aligned is approximated by the on-edge overlap from the
+    clamped public pos (off by the head-overhang for reads hanging past
+    the edge start — bounded by one read length, below the 500/3000/
+    10000 level granularity)."""
+    m = e >= 0
+    ec = np.clip(e, 0, g.n_e - 1).astype(np.int64)
+    le = lens[ec]
+    pc = np.maximum(p, 0).astype(np.int64)
+    al = np.minimum(ql.astype(np.int64), np.maximum(le - pc, 0))
+    e2 = np.where(m, g.edge_rc[ec], -1).astype(np.int32)
+    p2 = np.where(m, le - pc - al, -1).astype(np.int32)
+    return e2, p2
+
+
+def _candidate_pair_keys(g: AsmGraph, hits1, hits2):
+    """Candidate (e1, e2) read-pair tallies (reference read_mapper
+    stage 3, src/barcode_builder.c:814-830): ALL n1 x n2 strand-record
+    combos — (vote, mirror) per mate — gated per combo on
+    pos1 + pos2 < fragment length and distinct non-rc edges, counted in
+    both directed orders.  The pos gate selects the orientation-
+    consistent combo: a junction-spanning FR pair sits near its
+    records' HEADS only in the frame where the upstream edge is
+    mirrored, so misoriented (e.g. same-genome-strand) pairs land on
+    DIFFERENT keys than properly-oriented ones instead of polluting
+    them.  hits = (edge, pos, mirror_edge, mirror_pos).
+    Returns iterable of (packed_key, count)."""
+    e1, p1, e1m, p1m = hits1
+    e2, p2, e2m, p2m = hits2
+    keys = []
+    for ea, pa in ((e1, p1), (e1m, p1m)):
+        for eb, pb in ((e2, p2), (e2m, p2m)):
+            ok = (ea >= 0) & (eb >= 0) & (ea != eb) & \
+                 (g.edge_rc[np.clip(ea, 0, g.n_e - 1)] != eb) & \
+                 (pa + pb < MAX_READ_FRAG_LEN)
+            pe1 = ea[ok].astype(np.int64)
+            pe2 = eb[ok].astype(np.int64)
+            if len(pe1):
+                keys.append(pe1 * (1 << 32) + pe2)
+                keys.append(pe2 * (1 << 32) + pe1)
+    if not keys:
+        return []
+    uk, uc = np.unique(np.concatenate(keys), return_counts=True)
+    return zip(uk.tolist(), uc.tolist())
+
+
 def _library_mesh():
     """Mesh for full-library map stages: all local devices, read-data-
     parallel (the analogue of the reference's mapper thread fan-out,
@@ -187,25 +242,21 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
         e2, h2, p2 = map_reads(index, b2, l2, graph=g, mesh=mesh)
         n_pairs += len(b1)
         n_mapped += int((e1 >= 0).sum() + (e2 >= 0).sum())
+        # every hit attaches on BOTH strand records — the reference's
+        # n1 == 2 best alignments both enter the attach loops
+        # (read_mapper, barcode_builder.c:832-891)
+        e1m, p1m = _mirror_hits(g, lens, e1, p1, l1)
+        e2m, p2m = _mirror_hits(g, lens, e2, p2, l2)
         _bulk_attach(g, lens, e1, p1, bcs)
+        _bulk_attach(g, lens, e1m, p1m, bcs)
         _bulk_attach(g, lens, e2, p2, bcs)
+        _bulk_attach(g, lens, e2m, p2m, bcs)
         if build_readpairs:
-            # candidate read-pair tallies (reference read_mapper stage 3,
-            # barcode_builder.c:818-835): both heads within the fragment
-            # length of their records, distinct non-rc edges, counted in
-            # both directions
-            ok = (e1 >= 0) & (e2 >= 0) & (e1 != e2) & \
-                 (g.edge_rc[np.clip(e1, 0, g.n_e - 1)] != e2) & \
-                 (p1 + p2 < MAX_READ_FRAG_LEN)
-            pe1, pe2 = e1[ok].astype(np.int64), e2[ok].astype(np.int64)
-            if len(pe1):
-                keys = np.concatenate([pe1 * (1 << 32) + pe2,
-                                       pe2 * (1 << 32) + pe1])
-                uk, uc = np.unique(keys, return_counts=True)
-                for k_, c_ in zip(uk.tolist(), uc.tolist()):
-                    key = (k_ >> 32, k_ & 0xFFFFFFFF)
-                    nr, np_ = g.candidates.get(key, (0, 0))
-                    g.candidates[key] = (nr, np_ + int(c_))
+            for k_, c_ in _candidate_pair_keys(
+                    g, (e1, p1, e1m, p1m), (e2, p2, e2m, p2m)):
+                key = (k_ >> 32, k_ & 0xFFFFFFFF)
+                nr, np_ = g.candidates.get(key, (0, 0))
+                g.candidates[key] = (nr, np_ + int(c_))
     log.info("aux info: %d pairs, %d mapped reads, %d candidate pairs",
              n_pairs, n_mapped, len(g.candidates))
     return g
@@ -233,7 +284,17 @@ def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
         e2, _, _ = map_reads(index, b2, l2, graph=g, mesh=mesh,
                              min_score=ms2)
         ok = (e1 >= 0) & (e2 >= 0)
-        keys = e1[ok].astype(np.int64) * (1 << 32) + e2[ok].astype(np.int64)
+        # BOTH directed orders: the reference's 2x2 strand-record combos
+        # reduce to exactly [v1][v2] += 1 and [v2][v1] += 1 in the
+        # forward-record (vote) frame — the strand gate
+        # (p1.strand == p2.strand, barcode_builder.c:705-707) dedups the
+        # combos, it does not reject pairs.  Orientation consistency is
+        # structural here: each read has exactly ONE forward record, so
+        # the edge ids already encode the strands.
+        pe1 = e1[ok].astype(np.int64)
+        pe2 = e2[ok].astype(np.int64)
+        keys = np.concatenate([pe1 * (1 << 32) + pe2,
+                               pe2 * (1 << 32) + pe1])
         uk, uc = np.unique(keys, return_counts=True)
         for k_, c_ in zip(uk.tolist(), uc.tolist()):
             key = (k_ >> 32, k_ & 0xFFFFFFFF)

@@ -21,6 +21,7 @@ ops with fixed shapes, no hash tables.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -273,7 +274,7 @@ def _map_batch_sort(bases, lengths, keys, edge, pos, count, k: int, w: int):
     key_r = jnp.where(hit_sing, read_id, jnp.int32(B))        # invalid -> end
     key_e = jnp.where(hit_sing, hit_edge, jnp.int32(0x7FFFFFFF))
     p_read = jnp.tile(jnp.arange(P, dtype=jnp.int32), (B,))
-    start_est = jnp.maximum(hit_pos - p_read, 0)
+    start_est = hit_pos - p_read        # signed, like _vote_core
     sk_r, sk_e, s_start = jax.lax.sort(
         (key_r, key_e, start_est), dimension=0, num_keys=2, is_stable=False)
     newrun = jnp.concatenate([
@@ -359,7 +360,11 @@ def _vote_core(bases, lengths, keys, edge, pos, count, lut,
     sing = found & cvalid & (count[idx] == 1)
     SENT = jnp.int32(0x7FFFFFFF)
     ce = jnp.where(sing, edge[idx], SENT).reshape(B, MM_CAP)
-    cs = jnp.maximum(pos[idx] - cp, 0)
+    # SIGNED start: negative when the read overhangs the edge head (the
+    # verification stage scores only the on-edge overlap, reference
+    # asm_reg2aln clip handling src/barcode_builder.c:497-533; callers
+    # clamp to >=0 for the BWA-pos-style public value)
+    cs = pos[idx] - cp
     cs = jnp.where(sing, cs, jnp.int32(1 << 30)).reshape(B, MM_CAP)
 
     # 3. per-row tally: sort each row by edge, run-length in lanes
@@ -486,23 +491,34 @@ def _device_pool(seq_data: np.ndarray, seq_off: np.ndarray):
 @functools.partial(jax.jit, static_argnames=("mt", "mm", "pad"))
 def _gapless_bound_dev(seq_data, seq_off, edges, starts, bases, lengths,
                        mt: int, mm: int, pad: int):
-    """Score of the gapless alignment at the voted offset (a feasible
-    alignment, so a lower bound of the DP optimum) — computed on device
-    so the fast path never builds target windows on the host.
+    """Score of the gapless alignment at the voted (signed) offset over
+    the ON-EDGE overlap only — query bases hanging past either contig
+    end are clipped, not penalized.  This is the reference's clip
+    acceptance: asm_reg2aln extends soft-clips toward the contig ends
+    and DP-scores only the on-contig window [qb, qe)
+    (src/barcode_builder.c:497-563); an overhanging read keeps its
+    on-edge score, while full-length gates (rp counting, a.aligned <
+    read_len) exclude it naturally because its max score is the on-edge
+    length.  Computed on device so the fast path never builds target
+    windows on the host.
 
-    Returns (bound (N,) int32, feas (N,) bool); feas lanes fit the edge
-    with no indels (s0 + qlen <= edge_len)."""
+    Returns (bound (N,) int32, feas (N,) bool); feas lanes have a
+    non-empty on-edge overlap at the voted offset (a feasible clipped
+    gapless alignment, so bound lower-bounds the clipped DP optimum)."""
     N, Lq = bases.shape
     e = jnp.maximum(edges, 0).astype(jnp.int32)
     elen = seq_off[e + 1] - seq_off[e]
-    ql = lengths.astype(jnp.int32)
-    s0 = jnp.clip(starts.astype(jnp.int32), 0, jnp.maximum(elen - 1, 0))
-    feas = ((s0 + ql) <= elen) & (edges >= 0)
-    gidx = seq_off[e][:, None] + s0[:, None] + jnp.arange(Lq)[None, :]
+    s0 = starts.astype(jnp.int32)
+    j = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    tpos = s0[:, None] + j
+    on_edge = (tpos >= 0) & (tpos < elen[:, None]) & \
+        (j < lengths.astype(jnp.int32)[:, None])
+    gidx = seq_off[e][:, None] + jnp.maximum(tpos, 0)
     tch = seq_data[jnp.clip(gidx, 0, seq_data.shape[0] - 1)]
-    live = jnp.arange(Lq)[None, :] < lengths[:, None]
-    nmatch = jnp.sum(((bases == tch) & live).astype(jnp.int32), axis=1)
-    bound = nmatch * mt + (lengths.astype(jnp.int32) - nmatch) * mm
+    nmatch = jnp.sum(((bases == tch) & on_edge).astype(jnp.int32), axis=1)
+    n_on = jnp.sum(on_edge.astype(jnp.int32), axis=1)
+    bound = nmatch * mt + (n_on - nmatch) * mm
+    feas = (n_on > 0) & (edges >= 0)
     return bound.astype(jnp.int32), feas
 
 
@@ -586,15 +602,24 @@ def _dp_verify_rest(seq_data, seq_off, edges, starts, bases, lengths,
                     ) -> np.ndarray:
     """Full banded DP for the lanes in `rest` (host window build — the
     remainder is small on clean libraries); lanes pow2-bucketed.
+
+    starts are SIGNED voted offsets; query bases overhanging either
+    contig end are trimmed before the DP, so only the on-edge part must
+    align (reference asm_reg2aln DP-scores [qb, qe) after extending
+    clips toward the contig ends, src/barcode_builder.c:497-563).
     Returns (len(rest),) int32 scores."""
     from ..ops import dp
     Lq = bases.shape[1]
     e = edges[rest].astype(np.int64)
     qlen = lengths[rest].astype(np.int64)
     elen = (seq_off[e + 1] - seq_off[e]).astype(np.int64)
-    s0 = np.clip(starts[rest].astype(np.int64), 0, np.maximum(elen - 1, 0))
+    s0s = starts[rest].astype(np.int64)
+    qlo = np.maximum(-s0s, 0)                      # head-overhang trim
+    qhi = np.maximum(np.minimum(qlen, elen - s0s), qlo)  # tail trim
+    ql_t = qhi - qlo
+    s0 = np.clip(s0s + qlo, 0, np.maximum(elen - 1, 0))  # on-edge start
     w0 = np.maximum(s0 - pad, 0)
-    w1 = np.minimum(s0 + qlen + pad, elen)
+    w1 = np.minimum(s0 + ql_t + pad, elen)
     Lt = Lq + 2 * pad
     idx = (seq_off[e] + w0)[:, None] + np.arange(Lt)[None, :]
     inwin = np.arange(Lt)[None, :] < (w1 - w0)[:, None]
@@ -602,15 +627,18 @@ def _dp_verify_rest(seq_data, seq_off, edges, starts, bases, lengths,
                  np.uint8(255))
     B = dp.pad_pow2(len(rest), lo=256)
     q = np.full((B, Lq), 255, np.uint8)
-    q[: len(rest)] = bases[rest]
+    # per-row left shift by qlo (trim the head overhang off the query)
+    qidx = np.minimum(qlo[:, None] + np.arange(Lq)[None, :], Lq - 1)
+    q[: len(rest)] = np.take_along_axis(bases[rest], qidx, axis=1)
     tb = np.full((B, Lt), 255, np.uint8)
     tb[: len(rest)] = t
     ql = np.zeros(B, np.int32)
-    ql[: len(rest)] = qlen
+    ql[: len(rest)] = ql_t
     tl = np.zeros(B, np.int32)
     tl[: len(rest)] = (w1 - w0)
     sc = dp.affine_scores(q, ql, tb, tl, scoring, band=128, mode="fit")
-    return sc[: len(rest)]
+    sc = sc[: len(rest)]
+    return np.where(ql_t > 0, sc, 0).astype(np.int32)
 
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
@@ -637,16 +665,13 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
     if len(index.keys) == 0:
         return edges, hits, starts
     if mesh is not None and int(mesh.devices.size) > 1:
+        # verification runs fused ON DEVICE inside the sharded dispatch
+        # (parallel/sharded_map.sharded_map_step_verified); only the
+        # rare bound-miss lanes reach the host DP
         from ..parallel.sharded_map import map_reads_sharded
-        edges, hits, starts = map_reads_sharded(
-            index, bases, lengths, mesh, batch_size=batch_size)
-        if graph is not None:
-            accept, _ = rescore_hits(graph.seq_data, graph.seq_off, edges,
-                                     starts, bases, lengths,
-                                     min_score=min_score)
-            edges = np.where(accept, edges, -1)
-            starts = np.where(accept, starts, -1)
-        return edges, hits, starts
+        return map_reads_sharded(
+            index, bases, lengths, mesh, batch_size=batch_size,
+            graph=graph, min_score=min_score)
 
     from ..ops import dp
     if min_score is None:
@@ -665,8 +690,9 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
     # only pays one sync at the end (the per-batch fetch round-trip is
     # ~100 ms on this rig's tunnel).  Reads ship bit-packed by default
     # (TA_SHIP=raw opts out) — the same wire format as the count stage.
-    import os
     pack_wire = os.environ.get("TA_SHIP", "packed") == "packed"
+    if pack_wire:
+        from ..kmer.count import host_pack_reads
     pending = []
     for i in range(0, N, batch_size):
         rb = bases[i : i + batch_size]
@@ -680,7 +706,6 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
             tb_ = np.concatenate(
                 [tb_, np.full(pad, np.int32(1 << 30), np.int32)])
         if pack_wire:
-            from ..kmer.count import host_pack_reads
             pk, nm = host_pack_reads(np.ascontiguousarray(rb))
             if verified:
                 pending.append((i, _map_batch_verified_packed(
@@ -716,5 +741,6 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
                                  dp.SCORING_BWA)
             accept[rest] = sc >= thr_all[rest]
         edges = np.where(accept, edges, -1)
-        starts = np.where(accept, starts, -1)
+    # public starts are BWA-pos style: clamped >= 0 on mapped lanes
+    starts = np.where(edges >= 0, np.maximum(starts, 0), -1)
     return edges, hits, starts
