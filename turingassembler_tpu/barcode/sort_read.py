@@ -256,3 +256,65 @@ def parse_fastq_blob(blob: bytes):
         seqs.append(lines[i + 1])
         quals.append(lines[i + 3])
     return names, seqs, quals, comments
+
+
+def verify_read_archive(rpath: ReadPath, index=None, barcodes=None,
+                        max_barcodes: int = 0) -> int:
+    """Post-sort archive integrity invariant — reference
+    test_same_barcode (src/barcode_resolve2.c:1554-1588) + check_data
+    (src/buffer_file_wrapper.c:118-134): every record fetched through a
+    barcode's index entry must be a well-formed 4-line FASTQ record
+    whose BX tag decodes to ONE barcode per entry, and the record span
+    must consume the indexed byte length exactly.
+
+    index defaults to loading rpath.idx_path; barcodes defaults to all
+    of them (cap with max_barcodes for sampled checks on big archives).
+    Returns the number of barcodes checked; raises ValueError on any
+    violation."""
+    if index is None:
+        index = load_barcode_index(rpath.idx_path)
+    if barcodes is None:
+        barcodes = sorted(index)
+    if max_barcodes and len(barcodes) > max_barcodes:
+        step = max(1, len(barcodes) // max_barcodes)
+        barcodes = list(barcodes)[::step][:max_barcodes]
+    n_checked = 0
+    with open(rpath.R1_path, "rb") as f1, open(rpath.R2_path, "rb") as f2:
+        for bc in barcodes:
+            ent = index.get(int(bc))
+            if ent is None:
+                raise ValueError(f"barcode {bc} missing from index")
+            o1, o2, l1, l2 = ent
+            for f, off, ln, side in ((f1, o1, l1, "R1"), (f2, o2, l2, "R2")):
+                f.seek(off)
+                blob = f.read(ln)
+                if len(blob) != ln:
+                    raise ValueError(
+                        f"{side} span of barcode {bc} truncated "
+                        f"({len(blob)} < {ln})")
+                names, seqs, quals, comments = parse_fastq_blob(blob)
+                if not names or not blob.startswith(b"@") \
+                        or not blob.endswith(b"\n"):
+                    raise ValueError(
+                        f"{side} span of barcode {bc} is not FASTQ-aligned")
+                seen = set()
+                for nm, sq, ql, cm in zip(names, seqs, quals, comments):
+                    if len(sq) != len(ql):
+                        raise ValueError(
+                            f"{side} record {nm!r} of barcode {bc}: "
+                            f"seq/qual length mismatch")
+                    if cm.startswith(b"BX:Z:"):
+                        from ..io.fastq import decode_barcode_seq
+                        sp = cm.find(b" ", 5)
+                        seen.add(decode_barcode_seq(
+                            cm[5 : sp if sp >= 0 else len(cm)]))
+                if len(seen) > 1:
+                    raise ValueError(
+                        f"{side} span of barcode {bc} mixes barcodes "
+                        f"{sorted(seen)[:4]}")
+                if seen and next(iter(seen)) != int(bc):
+                    raise ValueError(
+                        f"{side} span of barcode {bc} holds records of "
+                        f"barcode {next(iter(seen))}")
+            n_checked += 1
+    return n_checked

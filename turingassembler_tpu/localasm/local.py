@@ -144,6 +144,99 @@ def _calibrate_flank_counts(lg: AsmGraph, g: AsmGraph, lk: int,
                     lg.edge_count[int(lg.edge_rc[le])] = cnt
 
 
+CONTIG_LEVEL_1_LOCAL = 3000   # reference assembly_graph.h:113
+
+
+def recount_local_graph_cov(lg: AsmGraph, g: AsmGraph, e1: int, e2: int,
+                            bases: np.ndarray, lengths: np.ndarray,
+                            lc_e1: Optional[int] = None,
+                            lc_e2: Optional[int] = None) -> None:
+    """Positional local coverage recount — reference
+    build_local_graph_cov + assign_count_local_kedge_multi
+    (src/kmer_build.c:928-990 and :159-192).  NOTE: the reference ships
+    with this pass commented out of get_local_assembly
+    (src/barcode_resolve2.c:2105-2106); it is provided here with the
+    same semantics for the coverage-sensitive local filters.
+
+    Rules (per counted read (k+1)-mer found on a local edge):
+      - on a flank-mapped local edge (lc_e1/lc_e2): count only when its
+        end position on that record is < CONTIG_LEVEL_1 — k-mers deep
+        into the flank come from the global contig, not the gap;
+      - on the rc record of a flank: gate on the mirrored position;
+      - anywhere else: always count; counts add to the edge AND its rc.
+    Afterwards the flank edges are rescaled to their expected coverage
+    over the full length (the reference's "fake count",
+    kmer_build.c:978-988)."""
+    lk = lg.ksize
+    k1 = lk + 1
+    if lc_e1 is None:
+        lc_e1 = MapContig(g.get_seq(e1), lg).find_match()
+    if lc_e2 is None:
+        lc_e2 = MapContig(g.get_seq(e2), lg).find_match()
+
+    # kedge -> (e_id, end-pos on the min(e, rc) record); first wins
+    # (reference build_edge_kmer_pos_multi, kmer_build.c:244-289 — the
+    # rc walk stores the identical mirrored pair, so e == e_id suffices)
+    index: Dict[bytes, Tuple[int, int]] = {}
+    for e in range(lg.n_e):
+        if lg.edge_source[e] < 0 or e > int(lg.edge_rc[e]):
+            continue
+        rows = _seq_canon_kedges_with_pos(lg.get_seq(e), k1)
+        for key, pos in rows:
+            index.setdefault(key, (e, pos))
+    if not index:
+        return
+
+    from ..kmer.count import count_kedges_from_reads
+    kedges, counts = count_kedges_from_reads(bases, lengths, lk,
+                                             batch_size=4096, engine="np")
+    new_counts = np.zeros(lg.n_e, np.int64)
+    rc1 = int(lg.edge_rc[lc_e1]) if lc_e1 >= 0 else -1
+    rc2 = int(lg.edge_rc[lc_e2]) if lc_e2 >= 0 else -1
+    for row, cnt in zip(kedges, counts):
+        hit = index.get(row.tobytes())
+        if hit is None:
+            continue
+        e, pos = hit
+        if e == lc_e1 or e == lc_e2:
+            ok = pos < CONTIG_LEVEL_1_LOCAL
+        elif e == rc1 or e == rc2:
+            pos = int(lg.edge_len(e)) - pos + k1 - 2
+            ok = pos < CONTIG_LEVEL_1_LOCAL
+        else:
+            ok = True
+        if ok:
+            new_counts[e] += int(cnt)
+            new_counts[int(lg.edge_rc[e])] += int(cnt)
+    lg.edge_count[:] = new_counts
+    # fake count: rescale the (positionally truncated) flank counts to
+    # full-length expected coverage
+    for le in (lc_e1, lc_e2):
+        if le is None or le < 0:
+            continue
+        cov = lg.edge_count[le] / max(CONTIG_LEVEL_1_LOCAL - lk + 1, 1)
+        cnt = int(cov * max(int(lg.edge_len(le)) - lk + 1, 1))
+        lg.edge_count[le] = cnt
+        lg.edge_count[int(lg.edge_rc[le])] = cnt
+
+
+def _seq_canon_kedges_with_pos(seq: np.ndarray, k1: int):
+    """[(canonical kedge bytes, end position)] for every window of a
+    host 2-bit sequence (positions are the reference's i = window end,
+    kmer_build.c:269-279)."""
+    from ..ops import limbs as lb
+    n = len(seq) - k1 + 1
+    if n <= 0:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.ascontiguousarray(seq), k1)
+    rows = lb.np_pack_bases(win, k1)
+    rc = lb.np_revcomp_limbs_fast(rows, k1)
+    rows = np.where(lb.np_lex_lt(rc, rows)[:, None], rc, rows)
+    rb = np.ascontiguousarray(rows)
+    return [(rb[i].tobytes(), i + k1 - 1) for i in range(n)]
+
+
 def build_local_graph(cfg: Config, g: AsmGraph, rpath: ReadPath, bc_index,
                       e1: int, e2: int) -> Optional[AsmGraph]:
     """Local DBG at lk over barcode-selected reads + flank garbage

@@ -203,6 +203,12 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
     set_log_stage("sort_read")
     rpath = sort_reads(cfg)
     log.info("sorted read archive: %s", rpath.idx_path)
+    # archive integrity invariant (reference test_same_barcode,
+    # src/barcode_resolve2.c:1554-1588): sampled post-sort check that
+    # every indexed span is aligned FASTQ of exactly its barcode
+    from .barcode.sort_read import verify_read_archive
+    n_checked = verify_read_archive(rpath, max_barcodes=256)
+    log.info("read archive integrity: %d barcodes verified", n_checked)
 
     if extend and int(g.alive_mask().sum()) > 2:
         from .graph.from_contigs import graph_from_contigs
