@@ -160,3 +160,52 @@ def test_condense_fast_empty():
     g = AsmGraph(ksize=31)
     g2 = asm_condense_fast(g)
     assert g2.n_e == 0 and g2.n_v == 0
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27])
+def test_simple_bulges_equivalence(seed):
+    """Array-graph simple bulges == MutableGraph oracle (VERDICT r2 #7)."""
+    from turingassembler_tpu.resolve.bulges import resolve_simple_bulges_ite
+    from turingassembler_tpu.resolve.vectorized import resolve_simple_bulges
+    g = _error_graph(20000, seed)
+    g = resolve_graph_operation(g)      # bulges run post-tips in the pipeline
+    r_vec = resolve_simple_bulges(g.clone())
+    r_py = resolve_simple_bulges_ite(g.clone())
+    assert _alive_key(r_vec) == _alive_key(r_py)
+
+
+def _bulge_heavy_graph(n_copies=60, seg=4000, rep=1500, seed=5):
+    """Graph dominated by real bulges: near-identical repeat copies
+    diverge into parallel paths that tips/chimeric never remove."""
+    genome = tt.genome_with_repeat_family(
+        n_segments=n_copies, segment_len=seg, repeat_len=rep,
+        identity=0.97, seed=seed)
+    reads, lengths = tt.sim_reads(genome, coverage=25.0, read_len=100,
+                                  error_rate=0.002, seed=seed + 1)
+    ke, c = count_kedges_from_reads(reads, lengths, 31, engine="np",
+                                    batch_size=200000)
+    return build_graph_from_kedges(ke, c, 31)
+
+
+@pytest.mark.slow
+def test_scale_bulges():
+    """Bulge-heavy graph: the array pass must clear it in seconds and
+    match the oracle (the 100k-edge 'build_0_1 + bulges within seconds'
+    gate)."""
+    from turingassembler_tpu.resolve.bulges import resolve_simple_bulges_ite
+    from turingassembler_tpu.resolve.vectorized import resolve_simple_bulges
+    g0 = _bulge_heavy_graph()
+    t0 = time.time()
+    g = resolve_graph_operation(g0.clone())
+    t_resolve = time.time() - t0
+    n_res = int(g.alive_mask().sum())
+
+    t0 = time.time()
+    r_vec = resolve_simple_bulges(g.clone())
+    t_vec = time.time() - t0
+    r_py = resolve_simple_bulges_ite(g.clone())
+    assert _alive_key(r_vec) == _alive_key(r_py)
+    print(f"\nbulge-heavy: n_e0={int(g0.alive_mask().sum())} "
+          f"resolve {t_resolve:.1f}s -> {n_res}; simple bulges "
+          f"{t_vec:.2f}s -> {int(r_vec.alive_mask().sum())}")
+    assert t_resolve + t_vec < 60

@@ -111,7 +111,17 @@ def _resolve_simple_bulges_once(g: MutableGraph, memo: Dict, node_map) -> int:
 
 def resolve_simple_bulges_ite(g: AsmGraph) -> AsmGraph:
     """Iterate simple-bulge removal + condense to fixpoint (reference
-    asm_resolve_simple_bulges_ite basic_resolve.c:1700-1741)."""
+    asm_resolve_simple_bulges_ite basic_resolve.c:1700-1741).
+
+    Above the driver's vectorization threshold the array-graph twin
+    runs instead (resolve/vectorized.resolve_simple_bulges — same
+    candidate order, memo, and DFS, no per-edge python objects); this
+    MutableGraph form is the oracle, equivalence-tested in
+    tests/test_vectorized_resolve.py."""
+    from .driver import VEC_MIN_EDGES
+    if g.n_e >= VEC_MIN_EDGES:
+        from .vectorized import resolve_simple_bulges
+        return resolve_simple_bulges(g)
     memo: Dict = {}
     node_map = list(range(g.n_v))
     while True:
