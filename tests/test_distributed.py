@@ -82,8 +82,24 @@ def _worker(pid: int, port: int, tmp: str) -> None:
         exp_k, exp_c = count_kedges_from_reads(reads, lens, K, engine="np")
         assert np.array_equal(kedges, exp_k), "kedge tables differ"
         assert np.array_equal(cnts, exp_c), "count tables differ"
+
+        # END-TO-END build_0 (VERDICT r2 #4): the level-0 graph built
+        # from the cross-process table must equal the single-process
+        # build — per-process FASTQ shards -> all_to_all k-mer shuffle
+        # -> merged table -> DBG (reference per-thread KMC prefix
+        # ranges, src/KMC_reader.c:287-310, scaled out to processes)
+        from turingassembler_tpu.graph.build import build_graph_from_kedges
+        g_dist = build_graph_from_kedges(kedges, cnts, K)
+        g_single = build_graph_from_kedges(exp_k, exp_c, K)
+
+        def key(g):
+            return sorted(
+                (g.get_seq(int(e)).tobytes(), int(g.edge_count[e]))
+                for e in np.flatnonzero(g.alive_mask()))
+        assert key(g_dist) == key(g_single), "level-0 graphs differ"
+        assert g_dist.n_e == g_single.n_e and g_dist.n_v == g_single.n_v
         with open(os.path.join(tmp, "OK"), "w") as f:
-            f.write(f"{len(kedges)}\n")
+            f.write(f"{len(kedges)} {g_dist.n_e}\n")
 
 
 def test_two_process_sharded_count(tmp_path):
@@ -106,7 +122,7 @@ def test_two_process_sharded_count(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
     ok = os.path.join(tmp_path, "OK")
     assert os.path.exists(ok), f"no OK marker; worker 0 said:\n{outs[0]}"
-    assert int(open(ok).read()) > 100
+    assert int(open(ok).read().split()[0]) > 100
 
 
 if __name__ == "__main__" and len(sys.argv) >= 5 and sys.argv[1] == "--worker":
