@@ -1,23 +1,43 @@
-"""Headline benchmark: reads/s through k-mer count + level-0 DBG build.
+"""Headline benchmark: reads/s through k-mer count + level-0 DBG build
++ read->edge mapping — the pipeline's two dominant wall-clock stages
+plus the graph build that joins them (VERDICT r2 #2 widened the scope
+from count+build).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md) and
-its KMC binary is stripped from the repo, so the 4-thread C baseline is
-estimated at 250,000 reads/s (KMC2-class counters sustain ~1-4 M
-(k+1)-mers/s/thread on 150 bp reads incl. graph build overhead;
-250 k reads/s * ~105 kmers/read / 4 threads ≈ 6.6 M kmers/s/thread is a
-generous ceiling for the C pipeline).  vs_baseline = value / 250000.
+Baseline (the reference publishes no throughput numbers, BASELINE.md,
+and its KMC binary is stripped so it cannot be run; the estimates and
+their assumptions):
+  - count+build: 250,000 reads/s — KMC2-class counters sustain ~1-4 M
+    (k+1)-mers/s/thread on 150 bp reads; 250 k reads/s * ~105
+    kmers/read / 4 threads ~ 6.6 M kmers/s/thread is a generous
+    ceiling for the 4-thread C pipeline (kmer count + DBG build).
+  - map: 45,000 reads/s — BWA-MEM runs ~5-15 k reads/s/thread on
+    150 bp reads against a small reference, and the reference rescores
+    every hit with ksw_global2 (src/barcode_builder.c:448-563); ~11 k
+    reads/s/thread * 4 threads is again generous.
+  - combined (stages run sequentially over the same reads):
+    1 / (1/250000 + 1/45000) = 38,135 reads/s.
+vs_baseline divides by the combined estimate; treat it with the error
+bars of both estimates and of this rig's 4-450 MB/s host<->device
+tunnel jitter (NOTES_ROUND2).
 
 Workload: synthetic 2 Mbp genome, 1M 150 bp error-free reads (~79x;
 read clouds run high-coverage — the reference's E. coli library is
-60M pairs on 4.6 Mbp),
-k = 45 (the reference's default k0, src/main.c:141), full path:
-threaded H2D of packed read chunks -> device canonical (k+1)-mer window
-extraction -> ONE device sort + run-length count (kmer/megasort.py) ->
-device level-0 unitig build (graph/device_build.py) -> host graph pull.
-Only unitig-sized outputs cross the (slow) host link.
+60M pairs on 4.6 Mbp), k = 45 (the reference's default k0,
+src/main.c:141).  Stages:
+  1. count+build: threaded H2D of packed read chunks -> device
+     canonical (k+1)-mer extraction -> device sort + run-length count
+     (kmer/megasort.py) -> device level-0 unitig build
+     (graph/device_build.py) -> host graph pull.
+  2. map: all 1M reads voted + gapless-DP-verified against the graph
+     ASSEMBLED in stage 1 (mapper/minimizers.py) — the aux-info /
+     extension hot kernel.  Index build is one-time per assembly and
+     reported separately on stderr (the reference's bwa_idx_build
+     analogue).
+Per-stage seconds go to stderr so stage shares are trackable round
+over round.
 """
 
 import json
@@ -44,6 +64,7 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    cache_marks = _preage_cache_atimes()
 
     from turingassembler_tpu import testing as tt
 
@@ -52,6 +73,7 @@ def main():
     batch = int(os.environ.get("TA_BENCH_BATCH", 8192))
     n_batches = int(os.environ.get("TA_BENCH_NBATCHES", 128))
     genome_size = int(os.environ.get("TA_BENCH_GENOME", 2_000_000))
+    with_map = os.environ.get("TA_BENCH_MAP", "1") == "1"
 
     # the axon backend goes UNAVAILABLE for long stretches on this rig;
     # a crash records nothing, so fall back to an honestly-labeled CPU
@@ -70,6 +92,7 @@ def main():
     if cpu_fallback:
         n_batches = min(n_batches, 16)
         genome_size = min(genome_size, 500_000)
+        with_map = False
     genome = tt.random_genome(genome_size, seed=0)
     n_reads = batch * n_batches
     # pad length +2 so shapes differ from test shapes (cache separation)
@@ -106,10 +129,10 @@ def main():
     # warmup/compile pass: compiles every executable and faults in the
     # host heap working set once so the timed pass is steady-state
     t_start = time.time()
-    run_once()
+    _, _, _, g_asm = run_once()
     log(f"compile+warmup: {time.time()-t_start:.1f}s")
 
-    # best of up to 3 timed passes: the host<->device tunnel on this rig
+    # best of up to 5 timed passes: the host<->device tunnel on this rig
     # has multi-second jitter between otherwise-identical runs AND
     # minute-scale per-process program-load stalls on bad days — stop
     # early if the time budget is burning so a JSON line always lands
@@ -121,86 +144,124 @@ def main():
             f"  ({n_uniq:,} unique (k+1)-mers, n_v={g.n_v}, n_e={g.n_e})")
         if best is None or t_count + t_build < best[0] + best[1]:
             best = (t_count, t_build)
+            g_asm = g
         if time.time() - t_start > budget:
             log(f"budget {budget:.0f}s exhausted after pass {i}")
             break
     t_count, t_build = best
 
-    # secondary stage (stderr only): read->edge mapping throughput, the
-    # aux-info/extension hot kernel (vote + gapless verify in one
-    # dispatch, mapper/minimizers.py).  The headline JSON stays
-    # count+build because that is BASELINE.md's target definition; this
-    # records that the mapper stages are device-batched and how fast
-    # (VERDICT r1 weak #2: the unbenched mapper was the wall-clock
-    # majority of full pipeline runs).
-    if (not cpu_fallback and os.environ.get("TA_BENCH_MAP", "1") == "1"
-            and time.time() - t_start < budget):
+    # stage 2: map the SAME reads against the assembled graph — vote +
+    # on-device gapless verification, host DP only on remainder lanes
+    # (the reference's read_mapper with asm_reg2aln rescoring,
+    # src/barcode_builder.c:737-912)
+    t_map = None
+    if with_map and time.time() - t_start < budget:
         try:
-            from turingassembler_tpu.graph.from_contigs import graph_from_contigs
             from turingassembler_tpu.mapper.minimizers import (
                 EdgeMinimizerIndex, map_reads)
-            ACGT = "ACGT"
-            step = 10_000
-            contigs = ["".join(ACGT[b] for b in genome[i:i + step])
-                       for i in range(0, len(genome), step)]
-            gm = graph_from_contigs(contigs, k)
-            idx = EdgeMinimizerIndex.build(gm)
-            n_map = min(n_reads, 262_144)
-            mb, ml = reads[:n_map], lengths[:n_map]
-            map_reads(idx, mb[:8192], ml[:8192], graph=gm)  # compile
             t0 = time.time()
-            e, _, _ = map_reads(idx, mb, ml, graph=gm)
-            dt = time.time() - t0
-            log(f"map stage: {n_map} reads vs {gm.n_e} edges in {dt:.2f}s "
-                f"= {n_map/dt:,.0f} reads/s ({(e >= 0).mean()*100:.1f}% "
-                f"mapped, DP-verified)")
-        except Exception as ex:  # never let the secondary kill the JSON
-            log(f"map stage skipped: {ex}")
+            idx = EdgeMinimizerIndex.build(g_asm)
+            log(f"minimizer index: {len(idx.keys):,} keys over "
+                f"{g_asm.n_e} edges in {time.time()-t0:.1f}s "
+                f"(one-time per assembly; bwa_idx_build analogue)")
+            map_reads(idx, reads[:32768], lengths[:32768], graph=g_asm)
+            for i in range(3):
+                t0 = time.time()
+                e, _, _ = map_reads(idx, reads, lengths, graph=g_asm)
+                dt = time.time() - t0
+                log(f"map pass {i}: {n_reads} reads in {dt:.2f}s = "
+                    f"{n_reads/dt:,.0f} reads/s "
+                    f"({(e >= 0).mean()*100:.1f}% mapped, DP-verified)")
+                if t_map is None or dt < t_map:
+                    t_map = dt
+                if time.time() - t_start > budget:
+                    break
+        except Exception as ex:   # never let the map stage kill the JSON
+            log(f"map stage failed: {ex}")
+            t_map = None
 
-    total = t_count + t_build
-    value = n_reads / total
-    baseline = 250_000.0
-    metric = "reads/s (k45 count + level-0 DBG build, 150bp reads, 1 chip)"
-    if cpu_fallback:
-        metric = ("reads/s (k45 count + level-0 DBG build, 150bp reads, "
-                  "CPU FALLBACK - TPU backend unavailable)")
+    if t_map is not None:
+        total = t_count + t_build + t_map
+        value = n_reads / total
+        baseline = 1.0 / (1.0 / 250_000.0 + 1.0 / 45_000.0)
+        metric = ("reads/s (k45 count + level-0 DBG build + DP-verified "
+                  "read->edge map, 150bp reads, 1 chip)")
+        log(f"stage shares: count {t_count:.2f}s ({t_count/total*100:.0f}%) "
+            f"build {t_build:.2f}s ({t_build/total*100:.0f}%) "
+            f"map {t_map:.2f}s ({t_map/total*100:.0f}%)")
+    else:
+        total = t_count + t_build
+        value = n_reads / total
+        baseline = 250_000.0
+        metric = "reads/s (k45 count + level-0 DBG build, 150bp reads, 1 chip)"
+        if cpu_fallback:
+            metric = ("reads/s (k45 count + level-0 DBG build, 150bp reads, "
+                      "CPU FALLBACK - TPU backend unavailable)")
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(value / baseline, 3),
     }))
-    prune_jax_cache()
+    prune_jax_cache(cache_marks)
 
 
-def prune_jax_cache(cap_mb: float = 80.0):
-    """Cap the committed .jax_cache: keep the newest executables up to
-    cap_mb total, delete the rest.  Fresh compiles carry fresh mtimes,
-    so entries the current bench/test shapes no longer hit rotate out
-    instead of accreting ~150 MB/round (VERDICT r2 weak #7)."""
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
+def _cache_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_cache")
+
+
+def _preage_cache_atimes():
+    """Move every cache entry's atime behind its mtime so this run's
+    cache READS are observable: under relatime the kernel bumps atime
+    on read when stored atime <= mtime.  Returns {path: aged_atime}."""
+    cache = _cache_dir()
+    marks = {}
+    if not os.path.isdir(cache):
+        return marks
+    for f in os.listdir(cache):
+        p = os.path.join(cache, f)
+        try:
+            st = os.stat(p)
+            aged = st.st_mtime - 2 * 86400
+            os.utime(p, (aged, st.st_mtime))
+            marks[p] = aged
+        except OSError:
+            pass
+    return marks
+
+
+def prune_jax_cache(marks):
+    """Keep only cache entries this bench run READ (atime moved past
+    the pre-aged mark) or WROTE (new file).  The repo-committed
+    .jax_cache serves bench.py alone (the CLI uses ~/.cache), so the
+    bench-hot set is exactly what must survive — experiment/scratch
+    executables rotate out instead of accreting ~150 MB/round
+    (VERDICT r2 weak #7 / ADVICE r2)."""
+    cache = _cache_dir()
     if not os.path.isdir(cache):
         return
-    entries = []
+    kept = pruned = 0
     for f in os.listdir(cache):
         p = os.path.join(cache, f)
         try:
             st = os.stat(p)
         except OSError:
             continue
-        entries.append((st.st_mtime, st.st_size, p))
-    entries.sort(reverse=True)          # newest first
-    total = 0
-    for mtime, size, p in entries:
-        total += size
-        if total > cap_mb * 1e6:
-            try:
-                os.unlink(p)
-                log(f"pruned stale cache entry {os.path.basename(p)} "
-                    f"({size/1e6:.1f} MB)")
-            except OSError:
-                pass
+        if p not in marks:              # written during this run
+            kept += 1
+            continue
+        if st.st_atime > marks[p] + 1:  # read during this run
+            kept += 1
+            continue
+        try:
+            sz = st.st_size
+            os.unlink(p)
+            pruned += 1
+            log(f"pruned unused cache entry {f} ({sz/1e6:.1f} MB)")
+        except OSError:
+            pass
+    log(f"cache prune: kept {kept}, pruned {pruned}")
 
 
 if __name__ == "__main__":

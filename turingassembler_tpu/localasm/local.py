@@ -121,6 +121,41 @@ def _seq_canon_kedges(seq: np.ndarray, k1: int) -> np.ndarray:
     return np.ascontiguousarray(rows[keep])
 
 
+def _rows_void(rows: np.ndarray) -> np.ndarray:
+    """(N, nl) uint32 rows -> (N,) void view (bytewise-comparable keys
+    for sort/searchsorted membership)."""
+    rows = np.ascontiguousarray(rows.astype("<u4"))
+    if rows.ndim == 1:
+        rows = rows[:, None]
+    return rows.view(f"V{rows.shape[1] * 4}").ravel()
+
+
+def _graph_canon_kedges_by_edge(lg: AsmGraph, k1: int):
+    """(canonical kedge rows (N, nl) uint32, edge_id (N,) int64) for
+    every (k+1)-window of every live edge — ONE vectorized pass over
+    the flat seq pool instead of a per-edge python loop (the per-edge
+    form made flank calibration the build_bridge wall at ~26k-edge
+    unresolved local graphs)."""
+    from ..ops import limbs as lb
+    pool = np.ascontiguousarray(lg.seq_data)
+    off = lg.seq_off
+    if len(pool) < k1:
+        return (np.zeros((0, lb.n_limbs(k1)), np.uint32),
+                np.zeros(0, np.int64))
+    win = np.lib.stride_tricks.sliding_window_view(pool, k1)
+    pos = np.arange(len(win), dtype=np.int64)
+    eid = np.searchsorted(off, pos, side="right") - 1
+    eid = np.clip(eid, 0, lg.n_e - 1)
+    alive = lg.edge_source >= 0
+    valid = (pos + k1 <= off[eid + 1]) & alive[eid]
+    win = win[valid]
+    eid = eid[valid]
+    rows = lb.np_pack_bases(win, k1)
+    rc = lb.np_revcomp_limbs_fast(rows, k1)
+    rows = np.where(lb.np_lex_lt(rc, rows)[:, None], rc, rows)
+    return rows, eid
+
+
 def _calibrate_flank_counts(lg: AsmGraph, g: AsmGraph, lk: int,
                             flank_edges) -> None:
     """assign_count_garbage (kmer_build.c:890-926): every local edge
@@ -130,18 +165,26 @@ def _calibrate_flank_counts(lg: AsmGraph, g: AsmGraph, lk: int,
     the local graph must not look low-coverage just because the
     barcode-filtered read subset thins out near the gap."""
     k1 = lk + 1
-    by_edge = [
-        {row.tobytes() for row in _seq_canon_kedges(lg.get_seq(le), k1)}
-        for le in range(lg.n_e)]
+    rows, eid = _graph_canon_kedges_by_edge(lg, k1)
+    if not len(rows):
+        return
+    rv = _rows_void(rows)
+    lens = lg.edge_len()
     for ge in flank_edges:
         old_cov = float(g.edge_cov(ge))
-        fset = {row.tobytes() for row in _seq_canon_kedges(g.get_seq(ge), k1)}
-        for le in range(lg.n_e):
-            if by_edge[le] and not by_edge[le].isdisjoint(fset):
-                if float(lg.edge_cov(le)) < old_cov:
-                    cnt = int(old_cov * max(lg.edge_len(le) - lk, 1))
-                    lg.edge_count[le] = cnt
-                    lg.edge_count[int(lg.edge_rc[le])] = cnt
+        frows = _seq_canon_kedges(g.get_seq(ge), k1)
+        if not len(frows):
+            continue
+        fv = np.sort(_rows_void(frows))
+        idx = np.searchsorted(fv, rv)
+        idx[idx >= len(fv)] = len(fv) - 1
+        member = fv[idx] == rv
+        touched = np.unique(eid[member])
+        for le in touched.tolist():
+            if float(lg.edge_cov(le)) < old_cov:
+                cnt = int(old_cov * max(int(lens[le]) - lk, 1))
+                lg.edge_count[le] = cnt
+                lg.edge_count[int(lg.edge_rc[le])] = cnt
 
 
 CONTIG_LEVEL_1_LOCAL = 3000   # reference assembly_graph.h:113
@@ -291,6 +334,17 @@ def _seq_kmer_multiset(seq: np.ndarray, k: int) -> Dict[bytes, int]:
     return out
 
 
+def _seq_kmer_table(seq: np.ndarray, k: int):
+    """(sorted unique void k-mer keys, counts) — vectorized multiset."""
+    n = len(seq) - k + 1
+    if n <= 0:
+        return (np.zeros(0, f"V{k}"), np.zeros(0, np.int64))
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.ascontiguousarray(seq), k)
+    keys = np.ascontiguousarray(win).view(f"V{k}").ravel()
+    return np.unique(keys, return_counts=True)
+
+
 class MapContig:
     """Window-vote mapping of one global contig into a local graph
     (reference map_contig.c)."""
@@ -298,12 +352,16 @@ class MapContig:
     def __init__(self, global_seq: np.ndarray, lg: AsmGraph):
         self.gseq = global_seq
         self.lg = lg
+        # per-edge sorted-unique 100-mer keys + multiplicities (void
+        # views, numpy-searchable) — the dict multisets made window
+        # voting a python loop over ~3k keys per (window, edge) pair
         self.edge_kmers = []
         for e in range(lg.n_e):
             if lg.edge_source[e] < 0:
-                self.edge_kmers.append({})
+                self.edge_kmers.append(None)
             else:
-                self.edge_kmers.append(_seq_kmer_multiset(lg.get_seq(e), MAP_KSIZE))
+                self.edge_kmers.append(
+                    _seq_kmer_table(lg.get_seq(e), MAP_KSIZE))
         self.is_match = np.zeros(lg.n_e, bool)
         self.best_match = -1
         self.best_window = -1
@@ -312,13 +370,22 @@ class MapContig:
         length = min(WINDOW_SIZE, len(self.gseq) - pos)
         if length < MAP_KSIZE:
             return -1
-        wk = _seq_kmer_multiset(self.gseq[pos : pos + length], MAP_KSIZE)
+        wkeys, wcnt = _seq_kmer_table(self.gseq[pos : pos + length],
+                                      MAP_KSIZE)
         n_wk = max(1, length - MAP_KSIZE + 1)
         for e in range(self.lg.n_e):
             if self.lg.edge_len(e) < WINDOW_SIZE:
                 continue
-            ek = self.edge_kmers[e]
-            pts = sum(min(c, ek.get(key, 0)) for key, c in wk.items())
+            tab = self.edge_kmers[e]
+            if tab is None:
+                continue
+            ekeys, ecnt = tab
+            if not len(ekeys) or not len(wkeys):
+                continue
+            idx = np.searchsorted(ekeys, wkeys)
+            idx[idx >= len(ekeys)] = len(ekeys) - 1
+            hit = ekeys[idx] == wkeys
+            pts = int(np.minimum(wcnt[hit], ecnt[idx[hit]]).sum())
             if pts >= POINT_HIGH_THRESH * n_wk:
                 return e
         return -1

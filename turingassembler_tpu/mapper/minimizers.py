@@ -64,20 +64,51 @@ def minimizer_mask(bases, lengths, k: int = MM_K, w: int = MM_W):
     W = L - k - w + 2  # number of windows
     if W <= 0:
         return km, h, jnp.zeros((B, P), bool)
-    # stack w shifted views: windows[i] covers positions i..i+w-1
-    shifts = [jax.lax.dynamic_slice_in_dim(h, j, W, axis=1) for j in range(w)]
-    stack = jnp.stack(shifts, axis=-1)                     # (B, W, w)
-    amin = jnp.argmin(stack, axis=-1)                      # leftmost min
-    wpos = jnp.arange(W, dtype=jnp.int32)[None, :]
-    mmpos = wpos + amin.astype(jnp.int32)                  # (B, W)
-    # window must fit inside the read: start + w + k - 1 <= length
-    w_ok = (wpos + w + k - 1) <= lengths[:, None]
-    is_mm = jnp.zeros((B, P), bool)
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], mmpos.shape)
-    safe_pos = jnp.where(w_ok, mmpos, 0)
-    is_mm = is_mm.at[bidx.reshape(-1), safe_pos.reshape(-1)].max(
-        w_ok.reshape(-1))
-    is_mm = is_mm & valid
+    # scatter-free leftmost-argmin: position p is the leftmost minimum
+    # of window i iff every h in [i, p) is strictly greater and every h
+    # in (p, i+w) is >=.  With Lrun[p] = capped run of strictly-greater
+    # hashes to the left and Rrun[p] = capped run of >= hashes to the
+    # right, some complete in-read window elects p iff
+    #   max(p - Lrun, 0) <= min(p + Rrun - w + 1, W_len - 1).
+    # Runs are built with log2(w) doubling steps of shifted compares —
+    # all elementwise, no (B, W, w) stack and no scatter (the scatter
+    # was ~0.1 s/32k-read batch, the map stage's largest single op).
+    NEG = jnp.uint32(0xFFFFFFFF)
+    maxrun = w - 1
+
+    def _runs(hv):
+        """(Lrun, Rrun) capped at w-1; left is strict (>), right is >=
+        — exactly the leftmost-argmin tie rule.  Unrolled w-1 shifted
+        compares (w is 17, so 16 cheap (B, P) elementwise ops)."""
+        B_, P_ = hv.shape
+        run = jnp.zeros((B_, P_), jnp.int32)
+        alive = jnp.ones((B_, P_), bool)
+        for d in range(1, maxrun + 1):
+            prev = jnp.concatenate(
+                [jnp.full((B_, d), NEG, jnp.uint32), hv[:, :P_ - d]], axis=1)
+            alive = alive & (prev > hv)
+            run = run + alive.astype(jnp.int32)
+        lrun = run
+        run = jnp.zeros((B_, P_), jnp.int32)
+        alive = jnp.ones((B_, P_), bool)
+        for d in range(1, maxrun + 1):
+            nxt = jnp.concatenate(
+                [hv[:, d:], jnp.full((B_, d), NEG, jnp.uint32)], axis=1)
+            alive = alive & (nxt >= hv)
+            run = run + alive.astype(jnp.int32)
+        rrun = run
+        return lrun, rrun
+
+    lrun, rrun = _runs(h)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    # complete windows inside THIS read: i in [0, W_len), where
+    # W_len = length - k - w + 2 (window start + w + k - 1 <= length)
+    w_len = lengths[:, None].astype(jnp.int32) - k - w + 2
+    lo = jnp.maximum(pos - lrun, 0)
+    hi = jnp.minimum(pos + rrun - w + 1, w_len - 1)
+    hi = jnp.minimum(hi, pos)            # window must start at or before p
+    lo = jnp.maximum(lo, pos - w + 1)    # and cover p
+    is_mm = (lo <= hi) & (w_len > 0) & valid
     return km, h, is_mm
 
 
