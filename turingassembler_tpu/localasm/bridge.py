@@ -328,16 +328,31 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir):
     if len(jobs) < 2 or cfg.n_threads < 2:
         return
 
-    def build_one(item):
-        cache, (e1, e2) = item
-        lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2)
+    # batched counting: every gap's canonical (k+1)-mers go through ONE
+    # sort pass keyed by a gap-id column (count_kedges_multi, SURVEY
+    # §7.9) instead of a small count per gap; the graph build / resolve
+    # per gap then fans out over the thread pool (reference
+    # build_bridge_iterator xT, src/build_bridge.c:898-903)
+    items = sorted(jobs.items())
+    read_sets = []
+    for cache, (e1, e2) in items:
+        got = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
+        read_sets.append(None if got is None else (got[0], got[1]))
+    tables = L.count_kedges_multi(read_sets, cfg.lk)
+
+    def build_one(i):
+        cache, (e1, e2) = items[i]
+        if read_sets[i] is None:
+            return
+        lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2,
+                                 precounted=tables[i])
         if lg is not None:
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             asmg.save_graph(lg, cache)
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=cfg.n_threads) as ex:
-        list(ex.map(build_one, sorted(jobs.items())))
+        list(ex.map(build_one, range(len(items))))
 
 
 def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):

@@ -187,6 +187,73 @@ def _calibrate_flank_counts(lg: AsmGraph, g: AsmGraph, lk: int,
                 lg.edge_count[int(lg.edge_rc[le])] = cnt
 
 
+def _reads_canon_kedge_rows(bases: np.ndarray, lengths: np.ndarray,
+                            k1: int) -> np.ndarray:
+    """All canonical (k+1)-mer limb rows (with multiplicity) of a read
+    matrix — vectorized window slice + validity mask + pack + canon."""
+    from ..ops import limbs as lb
+    N, L = bases.shape
+    if N == 0 or L < k1:
+        return np.zeros((0, lb.n_limbs(k1)), np.uint32)
+    win = np.lib.stride_tricks.sliding_window_view(bases, k1, axis=1)
+    P = win.shape[1]
+    pos_ok = np.arange(P)[None, :] + k1 <= lengths[:, None]
+    bad = (bases >= 4).astype(np.int32)
+    cz = np.concatenate([np.zeros((N, 1), np.int32),
+                         np.cumsum(bad, axis=1)], axis=1)
+    ok = pos_ok & ((cz[:, k1:] - cz[:, :P]) == 0)
+    w = np.ascontiguousarray(win[ok])
+    if not len(w):
+        return np.zeros((0, lb.n_limbs(k1)), np.uint32)
+    rows = lb.np_pack_bases(w, k1)
+    rc = lb.np_revcomp_limbs_fast(rows, k1)
+    return np.where(lb.np_lex_lt(rc, rows)[:, None], rc, rows)
+
+
+def count_kedges_multi(read_sets, k: int):
+    """Count canonical (k+1)-mers of MANY gap read sets in ONE sort
+    pass, separated by a leading gap-id key column (SURVEY §7.9 /
+    VERDICT r2 #8: per-gap counting paid per-job call + small-sort
+    overhead; this is the batched megasort posture on host arrays —
+    local jobs measured faster on host than over the device tunnel,
+    NOTES_ROUND1).  read_sets: [(bases, lengths) or None]; returns a
+    list of (kedges (n, nl) uint32 sorted unique, counts (n,) int64)
+    aligned with the input (None entries yield empty tables)."""
+    from ..ops import limbs as lb
+    k1 = k + 1
+    nl = lb.n_limbs(k1)
+    empty = (np.zeros((0, nl), np.uint32), np.zeros(0, np.int64))
+    parts, gids = [], []
+    for gid, rs in enumerate(read_sets):
+        if rs is None:
+            continue
+        rows = _reads_canon_kedge_rows(rs[0], rs[1], k1)
+        if len(rows):
+            parts.append(rows)
+            gids.append(np.full(len(rows), gid, np.int32))
+    out = [empty] * len(read_sets)
+    if not parts:
+        return out
+    rows = np.vstack(parts)
+    gid = np.concatenate(gids)
+    order = np.lexsort(tuple(rows[:, c] for c in range(nl - 1, -1, -1))
+                       + (gid,))
+    rows, gid = rows[order], gid[order]
+    starts = np.ones(len(rows), bool)
+    starts[1:] = (gid[1:] != gid[:-1]) | np.any(rows[1:] != rows[:-1], axis=1)
+    idx = np.flatnonzero(starts)
+    cnts = np.diff(np.append(idx, len(rows))).astype(np.int64)
+    urows, ugid = rows[idx], gid[idx]
+    gstarts = np.ones(len(ugid), bool)
+    gstarts[1:] = ugid[1:] != ugid[:-1]
+    gidx = np.append(np.flatnonzero(gstarts), len(ugid))
+    for j in range(len(gidx) - 1):
+        lo, hi = gidx[j], gidx[j + 1]
+        out[int(ugid[lo])] = (np.ascontiguousarray(urows[lo:hi]),
+                              cnts[lo:hi])
+    return out
+
+
 CONTIG_LEVEL_1_LOCAL = 3000   # reference assembly_graph.h:113
 
 
@@ -281,19 +348,24 @@ def _seq_canon_kedges_with_pos(seq: np.ndarray, k1: int):
 
 
 def build_local_graph(cfg: Config, g: AsmGraph, rpath: ReadPath, bc_index,
-                      e1: int, e2: int) -> Optional[AsmGraph]:
+                      e1: int, e2: int,
+                      precounted=None) -> Optional[AsmGraph]:
     """Local DBG at lk over barcode-selected reads + flank garbage
     k-mers + flank count calibration (build_local_assembly_graph,
-    kmer_build.c:991-1044)."""
+    kmer_build.c:991-1044).  precounted: optional (kedges, counts) from
+    the batched multi-gap pass (count_kedges_multi)."""
     lk = cfg.lk
-    got = local_reads_for_pair(g, rpath, bc_index, e1, e2)
-    if got is None:
-        return None
-    bases, lengths, _ = got
-
-    # local jobs are tiny: host merge beats device LSM regardless of backend
-    kedges, counts = count_kedges_from_reads(bases, lengths, lk,
-                                             batch_size=4096, engine="np")
+    if precounted is None:
+        got = local_reads_for_pair(g, rpath, bc_index, e1, e2)
+        if got is None:
+            return None
+        bases, lengths, _ = got
+        # local jobs are tiny: host beats the device tunnel regardless
+        kedges, counts = count_kedges_from_reads(bases, lengths, lk,
+                                                 batch_size=4096,
+                                                 engine="np")
+    else:
+        kedges, counts = precounted
     if len(kedges) == 0:
         return None
 
@@ -602,16 +674,24 @@ def coverage_filter(g: AsmGraph, lg: AsmGraph, emap1: EdgeMap, emap2: EdgeMap):
 def read_kmer_set(bases: np.ndarray, lengths: np.ndarray, k: int) -> Set[bytes]:
     """Set of k-mer byte-strings occurring in the local reads (reference
     get_kmer_hash kmer_hash.c:4-58; set membership is all the checks
-    use)."""
-    out: Set[bytes] = set()
-    for i in range(len(bases)):
-        s = bases[i, : lengths[i]].tobytes()
-        for j in range(len(s) - k + 1):
-            w = s[j : j + k]
-            if b"\xff" in w or b"\x04" in w:
-                continue
-            out.add(w)
-    return out
+    use).  Vectorized: windows sliced in one numpy pass, invalid-base /
+    over-length lanes masked, unique void keys converted once — the
+    per-read python loop was ~4s per full-quality bridge stage."""
+    N, L = bases.shape
+    if L < k or N == 0:
+        return set()
+    win = np.lib.stride_tricks.sliding_window_view(bases, k, axis=1)
+    P = win.shape[1]
+    pos_ok = np.arange(P)[None, :] + k <= lengths[:, None]
+    bad = (bases >= 4).astype(np.int32)
+    cz = np.concatenate([np.zeros((N, 1), np.int32),
+                         np.cumsum(bad, axis=1)], axis=1)
+    ok = pos_ok & ((cz[:, k:] - cz[:, :P]) == 0)
+    if not ok.any():
+        return set()
+    keys = np.unique(np.ascontiguousarray(win[ok]).view(f"V{k}").ravel())
+    blob = keys.tobytes()
+    return {blob[i * k : (i + 1) * k] for i in range(len(keys))}
 
 
 def _max_consec_missing(first: np.ndarray, second: np.ndarray, overlap: int,
