@@ -92,8 +92,12 @@ def _front(uniq, counts, n, k: int):
                            (sA[1:] != sA[:-1]) | (sB[1:] != sB[:-1])])
     new = new & (i2 < 2 * n)
     seg = jnp.cumsum(new.astype(I32)) - 1
-    inv = jnp.zeros((D + 1,), I32).at[
-        jnp.where(i2 < 2 * n, sidx, D)].set(seg, mode="drop")[:D]
+    # invert the sort permutation with a 1-key sort instead of a D-row
+    # scatter (sort streams; scatter is the platform's slowest
+    # primitive at ~50M rows/s).  Invalid lanes carry bounded garbage
+    # ids — every consumer is gated on valid/dvalid and gathers with
+    # mode=clip, same contract as the old dropped-scatter form.
+    _, inv = jax.lax.sort((sidx.astype(jnp.uint32), seg), num_keys=1)
     node_pre, node_suf = inv[:capK], inv[capK:]
 
     # adjacency nibbles (fw bits 0-3, rv bits 4-7; kmer_build.c:78-129)
@@ -238,18 +242,26 @@ def _assemble(uniq, counts, n, src_key, tgt_key, lastbase, head_of, dist,
     u_of = jnp.take(u_all, head_of, mode="clip")    # unitig id per lane
 
     gate = dvalid & (u_of < head_cap)
-    ulen = jnp.zeros((head_cap + 1,), I32).at[
-        jnp.where(gate, u_of, head_cap)].add(1, mode="drop")[:head_cap]
+    # ulen + ecount fused into ONE (D, 2)-update scatter-add (same
+    # index vector; scatter cost scales with index rows)
+    counts_d2 = jnp.concatenate([counts, counts])
+    upd = jnp.stack([jnp.ones((D,), I32), counts_d2], axis=1)
+    acc = jnp.zeros((head_cap + 1, 2), I32).at[
+        jnp.where(gate, u_of, head_cap)].add(upd, mode="drop")
+    ulen = acc[:head_cap, 0]
     eidx = jnp.arange(head_cap, dtype=I32)
     elive = eidx < n_edges
     seq_len = jnp.where(elive, k + ulen, 0)
     seq_off = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(seq_len)])
     total = seq_off[head_cap]
 
-    # head lane per unitig (dense compaction)
-    head_d = jnp.zeros((head_cap + 1,), I32).at[
-        jnp.where(is_head & (u_all < head_cap), u_all, head_cap)].set(
-        d_idx, mode="drop")[:head_cap]
+    # head lane per unitig via compaction sort: head lanes' u_all
+    # ascend with d_idx, so the sorted (is_head ? d_idx : big) prefix
+    # IS head_d (dead slots carry D, bounded; consumers gate on elive
+    # and gather with mode=clip)
+    (hsorted,) = jax.lax.sort(
+        (jnp.where(is_head, d_idx, D).astype(jnp.uint32),), num_keys=1)
+    head_d = hsorted[:head_cap].astype(I32)
     head_e = jnp.where(head_d < capK, head_d, head_d - capK)
     head_is_rc = head_d >= capK
     hk = jnp.take(uniq, head_e, axis=0, mode="clip")
@@ -270,14 +282,16 @@ def _assemble(uniq, counts, n, src_key, tgt_key, lastbase, head_of, dist,
     seq_packed = (sq[0::4] | (sq[1::4] << 2) | (sq[2::4] << 4)
                   | (sq[3::4] << 6)).astype(jnp.uint8)
 
-    counts_d = jnp.concatenate([counts, counts])
-    ecount = jnp.zeros((head_cap + 1,), I32).at[
-        jnp.where(gate, u_of, head_cap)].add(counts_d, mode="drop")[:head_cap]
+    ecount = acc[:head_cap, 1]
 
-    # rc pairing: rc unitig of u = unitig of rc(tail(u))
+    # rc pairing: rc unitig of u = unitig of rc(tail(u)); tail lane per
+    # unitig via a (u_of, d_idx) key sort — one tail per live unitig,
+    # so the sorted prefix is tail_d indexed by unitig id
     tail_mask = gate & (dist == jnp.take(ulen, u_of, mode="clip") - 1)
-    tail_d = jnp.zeros((head_cap + 1,), I32).at[
-        jnp.where(tail_mask, u_of, head_cap)].set(d_idx, mode="drop")[:head_cap]
+    _, tsorted = jax.lax.sort(
+        (jnp.where(tail_mask, u_of, head_cap + 1).astype(jnp.uint32),
+         d_idx), num_keys=1)
+    tail_d = tsorted[:head_cap]
     rc_d = jnp.where(tail_d < capK, tail_d + capK, tail_d - capK)
     edge_rc = jnp.take(u_of, rc_d, mode="clip")
 
