@@ -497,6 +497,39 @@ def _map_batch_packed(packed, nmask, lengths, keys, edge, pos, count, lut,
                       k, w, bits, iters)
 
 
+def _unpack_clean(packed, L: int, read_len: int):
+    """2-bit unpack for clean chunks (no Ns, uniform read length) —
+    the nmask and lengths never ship (same wire trick as
+    kmer/megasort._extract_chunk_packed_clean; 57 -> 38 bytes/150bp
+    read, and the tunnel is the map stage's second-largest cost)."""
+    B = packed.shape[0]
+    shifts2 = jnp.arange(4, dtype=jnp.uint8) * 2
+    bases = ((packed[:, :, None] >> shifts2[None, None, :]) & 3
+             ).reshape(B, -1)[:, :L].astype(jnp.uint8)
+    return bases, jnp.full((B,), read_len, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "read_len", "k", "w",
+                                             "bits", "iters", "mt", "mm"))
+def _map_batch_verified_packedc(packed, thr, keys, edge, pos, count, lut,
+                                seq_data, seq_off, L: int, read_len: int,
+                                k: int, w: int, bits: int, iters: int,
+                                mt: int, mm: int):
+    bases, lengths = _unpack_clean(packed, L, read_len)
+    return _verified_core(bases, lengths, keys, edge, pos, count, lut,
+                          seq_data, seq_off, thr, k, w, bits, iters, mt, mm)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "read_len", "k", "w",
+                                             "bits", "iters"))
+def _map_batch_packedc(packed, keys, edge, pos, count, lut,
+                       L: int, read_len: int, k: int, w: int, bits: int,
+                       iters: int):
+    bases, lengths = _unpack_clean(packed, L, read_len)
+    return _vote_core(bases, lengths, keys, edge, pos, count, lut,
+                      k, w, bits, iters)
+
+
 RESCORE_PAD = 16   # target-window slack around the voted start
 
 _POOL_CACHE: dict = {}   # id(np seq pool) -> (weakref, device arrays)
@@ -738,8 +771,19 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
             tb_ = np.concatenate(
                 [tb_, np.full(pad, np.int32(1 << 30), np.int32)])
         if pack_wire:
+            from ..kmer.megasort import _clean_chunk_info
+            clean, rl = _clean_chunk_info(rb, lb_)
             pk, nm = host_pack_reads(np.ascontiguousarray(rb))
-            if verified:
+            if clean and verified:
+                pending.append((i, _map_batch_verified_packedc(
+                    pk, tb_, keys, edge, pos, count, lut, sd, sod,
+                    rb.shape[1], rl, index.k, index.w, bits, iters,
+                    mt, mm)))
+            elif clean:
+                pending.append((i, _map_batch_packedc(
+                    pk, keys, edge, pos, count, lut,
+                    rb.shape[1], rl, index.k, index.w, bits, iters)))
+            elif verified:
                 pending.append((i, _map_batch_verified_packed(
                     pk, nm, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
                     rb.shape[1], index.k, index.w, bits, iters, mt, mm)))
