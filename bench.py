@@ -33,8 +33,12 @@ src/main.c:141).  Stages:
      (graph/device_build.py) -> host graph pull.
   2. map: all 1M reads voted + gapless-DP-verified against the graph
      ASSEMBLED in stage 1 (mapper/minimizers.py) — the aux-info /
-     extension hot kernel.  Index build is one-time per assembly and
-     reported separately on stderr (the reference's bwa_idx_build
+     extension hot kernel.  The map consumes the count stage's
+     device-resident ship records: reads cross the host<->device
+     tunnel ONCE per pipeline (paid inside the count timing), where
+     the reference re-streams the FASTQ from disk per stage
+     (src/process.c:585-701).  Index build is one-time per assembly
+     and reported separately on stderr (the reference's bwa_idx_build
      analogue).
 Per-stage seconds go to stderr so stage shares are trackable round
 over round.
@@ -113,23 +117,27 @@ def main():
             t1 = time.time()
             g = build_graph_from_kedges(kedges, counts, k)
             t2 = time.time()
-            return t1 - t0, t2 - t1, len(kedges), g
+            return t1 - t0, t2 - t1, len(kedges), (g, None)
     else:
         from turingassembler_tpu.graph.device_build import build_graph_on_device
         from turingassembler_tpu.kmer.megasort import count_reads_device
 
         def run_once():
             t0 = time.time()
-            uniq, counts, n = count_reads_device(reads, lengths, k)
+            # keep the ship records device-resident: the map stage
+            # consumes them so reads cross the tunnel ONCE per pipeline
+            # (the count pass pays the full wire cost, measured here)
+            uniq, counts, n, recs = count_reads_device(
+                reads, lengths, k, return_chunks=True)
             t1 = time.time()
             g = build_graph_on_device(uniq, counts, n, k)
             t2 = time.time()
-            return t1 - t0, t2 - t1, n, g
+            return t1 - t0, t2 - t1, n, (g, recs)
 
     # warmup/compile pass: compiles every executable and faults in the
     # host heap working set once so the timed pass is steady-state
     t_start = time.time()
-    _, _, _, g_asm = run_once()
+    _, _, _, (g_asm, recs_asm) = run_once()
     log(f"compile+warmup: {time.time()-t_start:.1f}s")
 
     # best of up to 5 timed passes: the host<->device tunnel on this rig
@@ -139,12 +147,12 @@ def main():
     budget = float(os.environ.get("TA_BENCH_BUDGET_S", 480))
     best = None
     for i in range(5):
-        t_count, t_build, n_uniq, g = run_once()
+        t_count, t_build, n_uniq, (g, recs) = run_once()
         log(f"pass {i}: count {t_count:.2f}s + build {t_build:.2f}s"
             f"  ({n_uniq:,} unique (k+1)-mers, n_v={g.n_v}, n_e={g.n_e})")
         if best is None or t_count + t_build < best[0] + best[1]:
             best = (t_count, t_build)
-            g_asm = g
+            g_asm, recs_asm = g, recs
         if time.time() - t_start > budget:
             log(f"budget {budget:.0f}s exhausted after pass {i}")
             break
@@ -164,14 +172,20 @@ def main():
             log(f"minimizer index: {len(idx.keys):,} keys over "
                 f"{g_asm.n_e} edges in {time.time()-t0:.1f}s "
                 f"(one-time per assembly; bwa_idx_build analogue)")
-            map_reads(idx, reads[:32768], lengths[:32768], graph=g_asm)
+            # map from the count stage's device-resident ship records:
+            # the reads paid the tunnel once, in the count timing above
+            nw = int(recs_asm[0][1].shape[0])
+            map_reads(idx, reads[:nw], lengths[:nw], graph=g_asm,
+                      shipped=recs_asm[:1])
             for i in range(3):
                 t0 = time.time()
-                e, _, _ = map_reads(idx, reads, lengths, graph=g_asm)
+                e, _, _ = map_reads(idx, reads, lengths, graph=g_asm,
+                                    shipped=recs_asm)
                 dt = time.time() - t0
                 log(f"map pass {i}: {n_reads} reads in {dt:.2f}s = "
                     f"{n_reads/dt:,.0f} reads/s "
-                    f"({(e >= 0).mean()*100:.1f}% mapped, DP-verified)")
+                    f"({(e >= 0).mean()*100:.1f}% mapped, DP-verified, "
+                    f"device-resident reads)")
                 if t_map is None or dt < t_map:
                     t_map = dt
                 if time.time() - t_start > budget:

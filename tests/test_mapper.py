@@ -318,3 +318,71 @@ def test_overhang_reads_fail_full_length_gates():
                            min_score=np.array([RL - 20], np.int64))
     assert e_lo[0] >= 0          # clip-tolerant acceptance
     assert e_hi[0] == -1         # full-length gate rejects
+
+
+def test_map_reads_shipped_records_bit_equal():
+    """Device-resident ship records (the count stage's wire format,
+    kmer/megasort.ship_chunks) must map bit-equal to the host-path
+    map_reads — clean (packedc) and dirty (packed: Ns + ragged
+    lengths) chunks, verified and vote-only, including on-device
+    slicing of records wider than batch_size and a padded tail
+    record."""
+    from turingassembler_tpu.kmer.megasort import ship_chunks
+
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+
+    # clean: uniform lengths, no Ns -> packedc records
+    reads, lengths = tt.sim_reads(g1, coverage=25, read_len=100, seed=21,
+                                  pad_to=104)
+    reads, lengths = reads[:640], lengths[:640].astype(np.int32)
+    recs = ship_chunks(reads, lengths, chunk=512)   # 512-row + padded tail
+    assert recs[0][0] == "packedc"
+    for graph in (None, g):
+        e0, h0, p0 = map_reads(idx, reads, lengths, batch_size=256,
+                               graph=graph)
+        e1, h1, p1 = map_reads(idx, reads, lengths, batch_size=256,
+                               graph=graph, shipped=recs)
+        np.testing.assert_array_equal(e0, e1)
+        np.testing.assert_array_equal(h0, h1)
+        np.testing.assert_array_equal(p0, p1)
+
+    # dirty: sprinkle Ns and vary lengths -> packed records
+    rng4 = np.random.default_rng(5)
+    reads = reads.copy()
+    nmask = rng4.random(reads.shape) < 0.01
+    reads[nmask] = 4
+    lengths = lengths - rng4.integers(0, 30, len(lengths)).astype(np.int32)
+    recs = ship_chunks(reads, lengths, chunk=512)
+    assert recs[0][0] == "packed"
+    for graph in (None, g):
+        e0, h0, p0 = map_reads(idx, reads, lengths, batch_size=256,
+                               graph=graph)
+        e1, h1, p1 = map_reads(idx, reads, lengths, batch_size=256,
+                               graph=graph, shipped=recs)
+        np.testing.assert_array_equal(e0, e1)
+        np.testing.assert_array_equal(h0, h1)
+        np.testing.assert_array_equal(p0, p1)
+
+
+def test_count_reads_device_return_chunks_reusable():
+    """count_reads_device(return_chunks=True) hands back ship records
+    that (a) re-feed a second count bit-equal (shipped=...) and (b)
+    drive the mapper — reads cross the tunnel once per pipeline."""
+    from turingassembler_tpu.kmer.megasort import count_reads_device, pull_rows
+
+    g, g1, g2 = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    reads, lengths = tt.sim_reads(g1, coverage=20, read_len=100, seed=31,
+                                  pad_to=104)
+    lengths = lengths.astype(np.int32)
+    u0, c0, n0, recs = count_reads_device(reads, lengths, 31,
+                                          return_chunks=True)
+    u1, c1, n1 = count_reads_device(reads, lengths, 31, shipped=recs)
+    assert n0 == n1
+    np.testing.assert_array_equal(pull_rows(u0, n0), pull_rows(u1, n1))
+    np.testing.assert_array_equal(np.asarray(c0[:n0]), np.asarray(c1[:n1]))
+
+    e0, _, _ = map_reads(idx, reads, lengths, graph=g)
+    e1, _, _ = map_reads(idx, reads, lengths, graph=g, shipped=recs)
+    np.testing.assert_array_equal(e0, e1)

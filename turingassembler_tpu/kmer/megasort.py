@@ -324,10 +324,19 @@ def count_reads_device(
     reads: np.ndarray, lengths: np.ndarray, k: int, *,
     chunk_reads: int | None = None, threads: int = 1,
     out_cap_log2: int | None = None, flush_lanes: int | None = None,
-) -> Tuple[jax.Array, jax.Array, int]:
+    shipped: List[tuple] | None = None, return_chunks: bool = False,
+):
     """Count canonical (k+1)-mers of a read matrix, results staying on
     device.  Returns (uniq (cap, nl) uint32 sorted unique sentinel-
     padded, counts (cap,) int32, n_unique int).
+
+    shipped: reuse a list of device-resident ship records from an
+    earlier pass (e.g. the k0 count feeding the k=31 coverage recount)
+    instead of re-crossing the host<->device tunnel.  return_chunks:
+    also return this pass's ship records so LATER stages (mapper
+    aux-info, coverage recount) consume the device-resident reads —
+    the reads then ship exactly once per pipeline, where the reference
+    re-streams the FASTQ from disk per stage (src/process.c:585-701).
 
     Pipelined: a background thread ships chunks over the tunnel
     sequentially (puts serialize host-side; measured: 1 thread moves the
@@ -367,9 +376,11 @@ def count_reads_device(
             lv = np.concatenate([lv, np.zeros(pad, np.int32)])
         return _ship_record(rb, lv, L, mode)
 
-    chunks: List[tuple] = []          # retained for the overflow retry
+    # retained for the overflow retry (and for return_chunks reuse)
+    chunks: List[tuple] = list(shipped) if shipped is not None else []
     with ThreadPoolExecutor(1) as ex:
-        futs = [ex.submit(ship_one, i) for i in range(n_chunks)]
+        futs = ([] if chunks else
+                [ex.submit(ship_one, i) for i in range(n_chunks)])
 
         def attempt(cap_log2: int) -> Tuple[jax.Array, jax.Array, int, bool]:
             out_cap = 1 << cap_log2
@@ -428,6 +439,8 @@ def count_reads_device(
         while True:
             uniq, counts, n_u, ok = attempt(out_cap_log2)
             if ok:
+                if return_chunks:
+                    return uniq, counts, n_u, chunks
                 return uniq, counts, n_u
             out_cap_log2 += 1
 

@@ -707,7 +707,7 @@ def _dp_verify_rest(seq_data, seq_off, edges, starts, bases, lengths,
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
               lengths: np.ndarray, batch_size: int = 65536,
-              graph=None, min_score=None, mesh=None):
+              graph=None, min_score=None, mesh=None, shipped=None):
     """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
     n_hits (N,), est_start (N,)).
 
@@ -718,6 +718,13 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
     mesh: when given (a multi-device jax Mesh), the vote loop runs
     read-data-parallel over the mesh (parallel/sharded_map.py,
     bit-equal to the single-device kernel).
+
+    shipped: a list of device-resident ship records for THESE reads
+    (kmer/megasort ship format, e.g. from count_reads_device
+    return_chunks=True) — the read matrix then never re-crosses the
+    host<->device tunnel; `bases`/`lengths` are still required for the
+    host-DP remainder lanes.  Records are sliced on device into
+    batch_size dispatches.
 
     batch_size 65536 measured +28% over 32768 with the scatter-free
     minimizer mask (198k vs 155k reads/s on the v5e tunnel; 131072
@@ -755,52 +762,109 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
     # only pays one sync at the end (the per-batch fetch round-trip is
     # ~100 ms on this rig's tunnel).  Reads ship bit-packed by default
     # (TA_SHIP=raw opts out) — the same wire format as the count stage.
-    pack_wire = os.environ.get("TA_SHIP", "packed") == "packed"
-    if pack_wire:
-        from ..kmer.count import host_pack_reads
     pending = []
-    for i in range(0, N, batch_size):
-        rb = bases[i : i + batch_size]
-        lb_ = lengths[i : i + batch_size]
-        tb_ = thr_all[i : i + batch_size]
-        if len(rb) < batch_size:
-            pad = batch_size - len(rb)
-            rb = np.concatenate(
-                [rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
-            lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
-            tb_ = np.concatenate(
-                [tb_, np.full(pad, np.int32(1 << 30), np.int32)])
+    if shipped is not None:
+        # device-resident records: slice each record into batch_size
+        # dispatches ON DEVICE — the read matrix never re-ships
+        i = 0
+        for rec in shipped:
+            if i >= N:
+                break
+            kind = rec[0]
+            rows = int(rec[1].shape[0])
+            step = batch_size if rows % batch_size == 0 else rows
+            for j in range(0, rows, step):
+                if i >= N:
+                    break
+                tb_ = thr_all[i : i + step]
+                if len(tb_) < step:
+                    tb_ = np.concatenate(
+                        [tb_, np.full(step - len(tb_), np.int32(1 << 30),
+                                      np.int32)])
+                if kind == "packedc":
+                    _, p, L, rl = rec
+                    pk = p[j : j + step] if step < rows else p
+                    if verified:
+                        out = _map_batch_verified_packedc(
+                            pk, tb_, keys, edge, pos, count, lut, sd, sod,
+                            L, rl, index.k, index.w, bits, iters, mt, mm)
+                    else:
+                        out = _map_batch_packedc(
+                            pk, keys, edge, pos, count, lut,
+                            L, rl, index.k, index.w, bits, iters)
+                elif kind == "packed":
+                    _, p, m_, lv, L = rec
+                    sl = slice(j, j + step)
+                    pk, nm, lb_ = ((p[sl], m_[sl], lv[sl]) if step < rows
+                                   else (p, m_, lv))
+                    if verified:
+                        out = _map_batch_verified_packed(
+                            pk, nm, lb_, keys, edge, pos, count, lut,
+                            sd, sod, tb_, L, index.k, index.w, bits,
+                            iters, mt, mm)
+                    else:
+                        out = _map_batch_packed(
+                            pk, nm, lb_, keys, edge, pos, count, lut,
+                            L, index.k, index.w, bits, iters)
+                else:  # raw
+                    _, bd, lv = rec
+                    sl = slice(j, j + step)
+                    rb, lb_ = (bd[sl], lv[sl]) if step < rows else (bd, lv)
+                    if verified:
+                        out = _map_batch_verified(
+                            rb, lb_, keys, edge, pos, count, lut, sd, sod,
+                            tb_, index.k, index.w, bits, iters, mt, mm)
+                    else:
+                        out = _map_batch(rb, lb_, keys, edge, pos, count,
+                                         lut, index.k, index.w, bits, iters)
+                pending.append((i, min(step, N - i), out))
+                i += step
+    else:
+        pack_wire = os.environ.get("TA_SHIP", "packed") == "packed"
         if pack_wire:
+            from ..kmer.count import host_pack_reads
             from ..kmer.megasort import _clean_chunk_info
-            clean, rl = _clean_chunk_info(rb, lb_)
-            pk, nm = host_pack_reads(np.ascontiguousarray(rb))
-            if clean and verified:
-                pending.append((i, _map_batch_verified_packedc(
-                    pk, tb_, keys, edge, pos, count, lut, sd, sod,
-                    rb.shape[1], rl, index.k, index.w, bits, iters,
-                    mt, mm)))
-            elif clean:
-                pending.append((i, _map_batch_packedc(
-                    pk, keys, edge, pos, count, lut,
-                    rb.shape[1], rl, index.k, index.w, bits, iters)))
+        for i in range(0, N, batch_size):
+            rb = bases[i : i + batch_size]
+            lb_ = lengths[i : i + batch_size]
+            tb_ = thr_all[i : i + batch_size]
+            if len(rb) < batch_size:
+                pad = batch_size - len(rb)
+                rb = np.concatenate(
+                    [rb, np.full((pad, rb.shape[1]), 255, np.uint8)])
+                lb_ = np.concatenate([lb_, np.zeros(pad, np.int32)])
+                tb_ = np.concatenate(
+                    [tb_, np.full(pad, np.int32(1 << 30), np.int32)])
+            if pack_wire:
+                clean, rl = _clean_chunk_info(rb, lb_)
+                pk, nm = host_pack_reads(np.ascontiguousarray(rb))
+                if clean and verified:
+                    out = _map_batch_verified_packedc(
+                        pk, tb_, keys, edge, pos, count, lut, sd, sod,
+                        rb.shape[1], rl, index.k, index.w, bits, iters,
+                        mt, mm)
+                elif clean:
+                    out = _map_batch_packedc(
+                        pk, keys, edge, pos, count, lut,
+                        rb.shape[1], rl, index.k, index.w, bits, iters)
+                elif verified:
+                    out = _map_batch_verified_packed(
+                        pk, nm, lb_, keys, edge, pos, count, lut, sd, sod,
+                        tb_, rb.shape[1], index.k, index.w, bits, iters,
+                        mt, mm)
+                else:
+                    out = _map_batch_packed(
+                        pk, nm, lb_, keys, edge, pos, count, lut,
+                        rb.shape[1], index.k, index.w, bits, iters)
             elif verified:
-                pending.append((i, _map_batch_verified_packed(
-                    pk, nm, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
-                    rb.shape[1], index.k, index.w, bits, iters, mt, mm)))
+                out = _map_batch_verified(
+                    rb, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
+                    index.k, index.w, bits, iters, mt, mm)
             else:
-                pending.append((i, _map_batch_packed(
-                    pk, nm, lb_, keys, edge, pos, count, lut,
-                    rb.shape[1], index.k, index.w, bits, iters)))
-        elif verified:
-            pending.append((i, _map_batch_verified(
-                rb, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
-                index.k, index.w, bits, iters, mt, mm)))
-        else:
-            pending.append((i, _map_batch(rb, lb_, keys, edge, pos, count,
-                                          lut, index.k, index.w, bits,
-                                          iters)))
-    for i, out in pending:
-        m = min(batch_size, N - i)
+                out = _map_batch(rb, lb_, keys, edge, pos, count,
+                                 lut, index.k, index.w, bits, iters)
+            pending.append((i, min(batch_size, N - i), out))
+    for i, m, out in pending:
         edges[i : i + m] = np.asarray(out[0])[:m]
         hits[i : i + m] = np.asarray(out[1])[:m]
         starts[i : i + m] = np.asarray(out[2])[:m]
