@@ -80,6 +80,146 @@ class ScaffoldPath:
         return seq[pos] if is_left else seq[len(seq) - 1 - pos]
 
 
+def _scaf_keys(g: AsmGraph, e: int) -> np.ndarray:
+    d = g.barcodes_scaf[e]
+    return np.fromiter(d.keys(), np.int64, len(d))
+
+
+def _candidate_edges_ref(g: AsmGraph, usable, lens, cov, is_long_arr
+                         ) -> Dict[int, List[Tuple[int, float]]]:
+    """Reference-shaped candidate scoring (inverted big table + per-src
+    dict tally; src/scaffolding/scaffolding.c:110-262).  Kept as the
+    oracle for the vectorized join below — per-barcode nested Python
+    loops are quadratic-ish in metagenome-scale graphs.
+
+    Ties in score break by ascending contig id (the reference qsort is
+    unstable, so its tie order is unspecified; a deterministic
+    refinement keeps both implementations comparable)."""
+    big: Dict[int, List[int]] = {}
+    for e in np.flatnonzero(is_long_arr):
+        for bc in g.barcodes_scaf[e]:
+            big.setdefault(bc, []).append(int(e))
+    adj_out: Dict[int, List[Tuple[int, float]]] = {}
+    for e in np.flatnonzero(is_long_arr):
+        e = int(e)
+        rc = int(g.edge_rc[e])
+        count: Dict[int, int] = {}
+        for bc in g.barcodes_scaf[rc]:
+            for c in big.get(bc, ()):
+                count[c] = count.get(c, 0) + 1
+        cands = []
+        cnt0 = len(g.barcodes_scaf[rc])
+        for des, share in count.items():
+            if not usable[des] or lens[des] < THRES_SHORT_LEN:
+                continue
+            if (des == e and lens[des] < 50000) or des == rc:
+                continue
+            if _too_different(cov[e], cov[des]):
+                continue
+            cnt1 = len(g.barcodes_scaf[des])
+            if cnt0 < MIN_SHARE_BARCODE or cnt1 < MIN_SHARE_BARCODE:
+                continue
+            sc = share / min(cnt0, cnt1)
+            if sc > 0:
+                cands.append((des, sc))
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        cands = cands[:N_CANDIDATE]
+        kept = []
+        for i, (des, sc) in enumerate(cands):
+            if sc == 0 or (i > 0 and sc < 0.5 * cands[i - 1][1]):
+                break
+            kept.append((des, sc))
+        adj_out[e] = kept
+    return adj_out
+
+
+def _candidate_edges_fast(g: AsmGraph, usable, lens, cov, is_long_arr
+                          ) -> Dict[int, List[Tuple[int, float]]]:
+    """Vectorized shared-barcode candidate scoring: one sorted
+    (barcode, contig) join + run-length count replaces the big-table
+    nested loops (oracle `_candidate_edges_ref`; equivalence in
+    tests/test_scaffold.py).  The share tally is the sparse
+    (barcode x contig) incidence product the reference computes one
+    dict probe at a time (src/scaffolding/scaffolding.c:110-175)."""
+    long_ids = np.flatnonzero(is_long_arr).astype(np.int64)
+    adj_out: Dict[int, List[Tuple[int, float]]] = {
+        int(e): [] for e in long_ids}
+    if len(long_ids) == 0:
+        return adj_out
+    n_e = g.n_e
+    sizes = np.array([len(g.barcodes_scaf[e]) for e in range(n_e)],
+                     np.int64)
+
+    # B side: (bc, des) for every long des (the big table, flattened)
+    b_bc = [ _scaf_keys(g, int(e)) for e in long_ids ]
+    B_des = np.repeat(long_ids, [len(a) for a in b_bc])
+    B_bc = (np.concatenate(b_bc) if b_bc
+            else np.zeros(0, np.int64))
+    oB = np.argsort(B_bc, kind="stable")   # stable: des ascends per bc
+    B_bc, B_des = B_bc[oB], B_des[oB]
+    ub, ustart = np.unique(B_bc, return_index=True)
+    ucount = np.diff(np.append(ustart, len(B_bc)))
+
+    # A side: (bc, src) from scaf[rc(src)]; srcs with cnt0 < 75 can
+    # never score (per-src constant), prefilter them out of the join
+    rc_of = g.edge_rc.astype(np.int64)
+    src_ok = long_ids[sizes[rc_of[long_ids]] >= MIN_SHARE_BARCODE]
+    a_bc = [ _scaf_keys(g, int(rc_of[e])) for e in src_ok ]
+    A_src = np.repeat(src_ok, [len(a) for a in a_bc])
+    A_bc = (np.concatenate(a_bc) if a_bc
+            else np.zeros(0, np.int64))
+
+    # join on barcode: every (src, des) pair sharing bc contributes 1
+    j = np.searchsorted(ub, A_bc)
+    ok = (j < len(ub))
+    ok[ok] = ub[j[ok]] == A_bc[ok]
+    j, A_srcm = j[ok], A_src[ok]
+    m = ucount[j]
+    pair_src = np.repeat(A_srcm, m)
+    off = np.repeat(ustart[j], m)
+    tot = int(m.sum())
+    starts = np.zeros(len(m) + 1, np.int64)
+    np.cumsum(m, out=starts[1:])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(starts[:-1], m)
+    pair_des = B_des[off + within]
+
+    key = pair_src * n_e + pair_des
+    uk, share = np.unique(key, return_counts=True)
+    src = uk // n_e
+    des = uk % n_e
+
+    # per-pair filters (identical predicates to the reference loop)
+    cnt0 = sizes[rc_of[src]]
+    cnt1 = sizes[des]
+    keep = (usable[des] & (lens[des] >= THRES_SHORT_LEN)
+            & ~((des == src) & (lens[des] < 50000))
+            & (des != rc_of[src])
+            & ~((cov[src] < cov[des] / 3) | (cov[src] > 3 * cov[des]))
+            & (cnt1 >= MIN_SHARE_BARCODE))
+    src, des, share = src[keep], des[keep], share[keep]
+    sc = share / np.minimum(cnt0[keep], cnt1[keep])
+    pos = sc > 0
+    src, des, sc = src[pos], des[pos], sc[pos]
+
+    # per-src: sort by (-score, des), top-11, 2x-drop cliff
+    order = np.lexsort((des, -sc, src))
+    src, des, sc = src[order], des[order], sc[order]
+    starts_g = np.flatnonzero(
+        np.concatenate([[True], src[1:] != src[:-1]]))
+    ends_g = np.append(starts_g[1:], len(src))
+    for s0, s1 in zip(starts_g, ends_g):
+        e = int(src[s0])
+        kept: List[Tuple[int, float]] = []
+        hi = min(s1, s0 + N_CANDIDATE)
+        for i in range(s0, hi):
+            v = float(sc[i])
+            if i > s0 and v < 0.5 * float(sc[i - 1]):
+                break
+            kept.append((int(des[i]), v))
+        adj_out[e] = kept
+    return adj_out
+
+
 def scaffolding(cfg: Config, g: AsmGraph, out_dir: Optional[str] = None) -> str:
     out_dir = out_dir or cfg.out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -102,49 +242,12 @@ def scaffolding(cfg: Config, g: AsmGraph, out_dir: Optional[str] = None) -> str:
     def is_short(e):
         return usable[e] and THRES_SHORT_LEN <= lens[e] < THRES_LENGTH
 
-    # ---- big table: barcode -> long contigs ----
-    big: Dict[int, List[int]] = {}
-    for e in range(g.n_e):
-        if not is_long(e):
-            continue
-        for bc in g.barcodes_scaf[e]:
-            big.setdefault(bc, []).append(e)
-
-    # ---- candidate edges ----
+    # ---- candidate edges (shared-barcode scores) ----
+    is_long_arr = usable & (lens >= THRES_LENGTH)
+    adj_out = _candidate_edges_fast(g, usable, lens, cov, is_long_arr)
     # score[(src, des)] -> bc_score
     edge_score: Dict[Tuple[int, int], float] = {}
-    adj_out: Dict[int, List[Tuple[int, float]]] = {}
-    for e in range(g.n_e):
-        if not is_long(e):
-            continue
-        rc = int(g.edge_rc[e])
-        count: Dict[int, int] = {}
-        for bc in g.barcodes_scaf[rc]:
-            for c in big.get(bc, ()):
-                count[c] = count.get(c, 0) + 1
-        cands = []
-        cnt0 = len(g.barcodes_scaf[rc])
-        for des, share in count.items():
-            if not usable[des] or lens[des] < THRES_SHORT_LEN:
-                continue
-            if (des == e and lens[des] < 50000) or des == rc:
-                continue
-            if _too_different(cov[e], cov[des]):
-                continue
-            cnt1 = len(g.barcodes_scaf[des])
-            if cnt0 < MIN_SHARE_BARCODE or cnt1 < MIN_SHARE_BARCODE:
-                continue
-            sc = share / min(cnt0, cnt1)
-            if sc > 0:
-                cands.append((des, sc))
-        cands.sort(key=lambda x: -x[1])
-        cands = cands[:N_CANDIDATE]
-        kept = []
-        for i, (des, sc) in enumerate(cands):
-            if sc == 0 or (i > 0 and sc < 0.5 * cands[i - 1][1]):
-                break
-            kept.append((des, sc))
-        adj_out[e] = kept
+    for e, kept in adj_out.items():
         for des, sc in kept:
             edge_score[(e, des)] = sc
 
