@@ -131,12 +131,37 @@ def test_sortless_tally_matches_sort_oracle():
                                  (idx.keys, idx.edge, idx.pos, idx.count))
     old = [np.asarray(x) for x in mm._map_batch_sort(
         reads, lengths, keys, edge, pos, count, idx.k, idx.w)]
-    lut, bits, iters = idx.lookup_tables()
+    hkeys, vals, salt = idx.device_tables()
     new = [np.asarray(x) for x in mm._map_batch(
-        reads, lengths, keys, edge, pos, count, jnp.asarray(lut),
-        idx.k, idx.w, bits, iters)]
+        reads, lengths, hkeys, vals, salt, idx.k, idx.w)]
     for a, b in zip(old, new):
         assert np.array_equal(a, b)
+
+
+def test_cuckoo_probe_exact():
+    """Every indexed key must resolve to its (edge-if-singleton, pos)
+    through the cuckoo tables; absent keys must report not-found."""
+    import jax.numpy as jnp
+
+    from turingassembler_tpu.mapper import minimizers as mm
+
+    g, _, _ = make_two_contig_graph()
+    idx = EdgeMinimizerIndex.build(g)
+    hkeys, vals, salt = map(jnp.asarray, idx.hash_tables())
+    es, pv, found = mm._cuckoo_probe(hkeys, vals, salt,
+                                     jnp.asarray(idx.keys))
+    assert np.asarray(found).all()
+    sing = idx.count == 1
+    assert np.array_equal(np.asarray(es)[sing], idx.edge[sing])
+    assert (np.asarray(es)[~sing] == -1).all()
+    assert np.array_equal(np.asarray(pv)[sing], idx.pos[sing])
+    # absent keys: flip low bits of limb1 (never indexed — real keys
+    # there have low 30 bits zero)
+    qk = idx.keys.copy()
+    qk[:, 1] |= 1
+    es2, _, found2 = mm._cuckoo_probe(hkeys, vals, salt, jnp.asarray(qk))
+    assert not np.asarray(found2).any()
+    assert (np.asarray(es2) == -1).all()
 
 
 def test_rescore_rejects_chimeric_reads():
@@ -386,3 +411,46 @@ def test_count_reads_device_return_chunks_reusable():
     e0, _, _ = map_reads(idx, reads, lengths, graph=g)
     e1, _, _ = map_reads(idx, reads, lengths, graph=g, shipped=recs)
     np.testing.assert_array_equal(e0, e1)
+
+
+def test_gapless_bound_packed_equals_ref():
+    """The packed-window gapless bound (one dynamic-slice word gather +
+    8-case shift select per lane) must be bit-equal to the scalar-gather
+    oracle on every lane class: interior, head/tail overhang (negative /
+    past-end starts), short edges, zero-length, unmapped."""
+    import jax.numpy as jnp
+
+    from turingassembler_tpu.mapper import minimizers as mm
+
+    rng = np.random.default_rng(11)
+    # pool of several edges incl. a tiny first edge (b can go negative)
+    lens_e = [7, 300, 51, 1200, 64]
+    seq_off = np.concatenate([[0], np.cumsum(lens_e)]).astype(np.int64)
+    seq_data = rng.integers(0, 4, seq_off[-1]).astype(np.uint8)
+    N, Lq = 512, 152
+    edges = rng.integers(-1, len(lens_e), N).astype(np.int32)
+    starts = rng.integers(-Lq + 1, 1400, N).astype(np.int32)
+    bases = rng.integers(0, 4, (N, Lq)).astype(np.uint8)
+    lengths = rng.integers(0, Lq + 1, N).astype(np.int32)
+    # plant exact matches on a quarter of lanes so bounds aren't all noise
+    for i in range(0, N, 4):
+        e = int(edges[i])
+        if e < 0:
+            continue
+        el = lens_e[e]
+        s = int(starts[i])
+        lo, hi = max(s, 0), min(s + int(lengths[i]), el)
+        for t in range(lo, hi):
+            bases[i, t - s] = seq_data[seq_off[e] + t]
+
+    sod = jnp.asarray(seq_off.astype(np.int32))
+    b_ref, f_ref = mm._gapless_bound_ref(
+        jnp.asarray(seq_data), sod, jnp.asarray(edges), jnp.asarray(starts),
+        jnp.asarray(bases), jnp.asarray(lengths), 1, -4, mm.RESCORE_PAD)
+    pk = jnp.asarray(mm._pack_pool_nibbles(seq_data))
+    b_pk, f_pk = mm._gapless_bound_dev(
+        pk, sod, jnp.asarray(edges), jnp.asarray(starts),
+        jnp.asarray(bases), jnp.asarray(lengths), 1, -4, mm.RESCORE_PAD)
+    assert np.array_equal(np.asarray(f_ref), np.asarray(f_pk))
+    fr = np.asarray(f_ref)
+    assert np.array_equal(np.asarray(b_ref)[fr], np.asarray(b_pk)[fr])

@@ -132,3 +132,16 @@ def test_candidate_edges_scale():
     print(f"\n20k-contig candidate scoring: {dt:.2f}s")
     assert dt < 30.0
     assert len(out) == int(is_long.sum())
+
+
+def test_candidate_edges_fast_no_survivors():
+    """All pairs filtered out (every set under MIN_SHARE_BARCODE) must
+    yield empty candidate lists, not an indexing crash."""
+    from turingassembler_tpu.scaffold.scaffolding import (
+        _candidate_edges_fast, _candidate_edges_ref)
+    rng = np.random.default_rng(3)
+    g, usable, lens, cov, is_long = _random_instance(rng, 8, 50, 10)
+    ref = _candidate_edges_ref(g, usable, lens, cov, is_long)
+    fast = _candidate_edges_fast(g, usable, lens, cov, is_long)
+    assert ref == fast
+    assert all(v == [] for v in fast.values())

@@ -39,8 +39,6 @@ NL = lb.n_limbs(MM_K)  # 2 limbs
 MM_CAP = 48     # singleton-lookup slots per read after lane compaction
                 # (a 150 bp read has ~2L/(w+1) ~ 16 minimizers; 48 is
                 # ~3x headroom — overflow lanes are dropped)
-LUT_MIN_BITS = 10
-LUT_MAX_BITS = 20
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
@@ -112,41 +110,121 @@ def minimizer_mask(bases, lengths, k: int = MM_K, w: int = MM_W):
     return km, h, is_mm
 
 
-def build_prefix_lut(keys: np.ndarray):
-    """Host-side prefix LUT over the sorted key table: lut[b] = first
-    row whose limb-0 top `bits` equal b (the same trick as KMC's
-    .kmc_pre prefix LUT, reference src/KMC_reader.c:50-149).  Replaces
-    the first `bits` binary-search steps of every device lookup with a
-    single gather; the residual per-bucket search is `iters` steps."""
+# ---------------------------------------------------------------------
+# Cuckoo lookup: the voting profile is dominated by the per-lane table
+# probes (prefix-LUT + ~4-step binary search + 3 value gathers ~ 9
+# random HBM accesses/lane, 119+45 of 300 ms per 65k-read batch).  A
+# 4-slot-per-bucket 2-choice cuckoo table resolves a key in at most 2
+# bucket-row gathers + 1 value-row gather, with values pre-fused to
+# exactly what the vote needs: (edge+1 if singleton else 0, pos).
+# Host build and device probe share the same uint32 mixers bit-exactly.
+# ---------------------------------------------------------------------
+CUCKOO_CAP = 4
+
+
+def _cuckoo_h(q0, q1, salt, mask, which: int):
+    """Bucket hash over both key limbs; `which` selects the table.
+    Works identically on numpy and jax uint32 arrays."""
+    if which == 0:
+        x = (q0 ^ (q1 * np.uint32(0x9E3779B1))) + salt
+    else:
+        x = (q1 ^ (q0 * np.uint32(0x85EBCA77))) + (
+            salt ^ np.uint32(0x5BD1E995))
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> np.uint32(13))
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> np.uint32(16))
+    return x & mask
+
+
+def build_cuckoo_tables(keys: np.ndarray, edge: np.ndarray,
+                        pos: np.ndarray, count: np.ndarray):
+    """(hkeys (NB, 8) uint32, vals (NB*4, 2) uint32, salt) or None.
+
+    Placement is greedy 2-choice over alternating rounds (load <= 0.5
+    at 4 slots/bucket converges in 2-3 rounds); a salt bump retries the
+    rare pathological layout, and None falls back to the binary-search
+    path.  Empty slots hold 0xFFFFFFFF in both limbs — real minimizer
+    keys are left-aligned 34-bit packings (ops/limbs.py) whose second
+    limb has its low 30 bits zero, so no real key matches a sentinel."""
     M = len(keys)
-    bits = int(np.clip(int(np.ceil(np.log2(max(M, 2)))) + 2,
-                       LUT_MIN_BITS, LUT_MAX_BITS))
-    top = (keys[:, 0] >> np.uint32(32 - bits)).astype(np.int64)
-    lut = np.searchsorted(
-        top, np.arange((1 << bits) + 1, dtype=np.int64),
-        side="left").astype(np.int32)
-    bucket_max = int((lut[1:] - lut[:-1]).max()) if M else 0
-    iters = int(np.ceil(np.log2(bucket_max + 1))) + 1 if bucket_max else 1
-    return lut, bits, iters
+    if M == 0:
+        hkeys = np.full((256, 2 * CUCKOO_CAP), 0xFFFFFFFF, np.uint32)
+        return hkeys, np.zeros((256 * CUCKOO_CAP, 2), np.uint32), np.uint32(0)
+    k0 = np.ascontiguousarray(keys[:, 0])
+    k1 = np.ascontiguousarray(keys[:, 1])
+    # start at load ~0.12 (4 slots x 2 choices): greedy kick-free
+    # placement succeeds on the first salt with overwhelming odds
+    # (load 0.4 failed ~0.1% of keys and burned seconds of retries)
+    nb0 = 1 << max(int(np.ceil(np.log2(max(M, 2) * 2))), 8)
+    for nb in (nb0, nb0 * 2, nb0 * 4):
+        out = _try_build_cuckoo(k0, k1, edge, pos, count, nb)
+        if out is not None:
+            return out
+    raise RuntimeError("cuckoo table build failed at load 0.03")
 
 
-def _lut_search(table, lut, queries, bits: int, iters: int):
-    """Two-level table lookup: prefix-LUT gather + short binary search
-    inside the bucket.  Returns (idx (Q,) int32, found (Q,) bool)."""
-    M = table.shape[0]
-    b = (queries[:, 0] >> jnp.uint32(32 - bits)).astype(jnp.int32)
-    lo = lut[b]
-    hi = lut[b + 1]
-    for _ in range(iters):
-        mid = (lo + hi) // 2
-        row = table[jnp.clip(mid, 0, M - 1)]
-        lt = so._lex_lt_rows(row, queries)
-        active = lo < hi
-        lo = jnp.where(active & lt, mid + 1, lo)
-        hi = jnp.where(active & ~lt, mid, hi)
-    idx = jnp.clip(lo, 0, M - 1)
-    found = jnp.all(table[idx] == queries, axis=-1)
-    return idx, found
+def _try_build_cuckoo(k0, k1, edge, pos, count, nb: int):
+    M = len(k0)
+    mask = np.uint32(nb - 1)
+    for salt_i in range(4):
+        salt = np.uint32((0xA5A5A5A5 + 0x9E3779B9 * salt_i) & 0xFFFFFFFF)
+        h1 = _cuckoo_h(k0, k1, salt, mask, 0).astype(np.int64)
+        h2 = _cuckoo_h(k0, k1, salt, mask, 1).astype(np.int64)
+        fill = np.zeros(nb, np.int64)
+        bucket = np.full(M, -1, np.int64)
+        slot = np.full(M, -1, np.int64)
+        un = np.arange(M)
+        for r in range(12):
+            if len(un) == 0:
+                break
+            cand = (h1 if r % 2 == 0 else h2)[un]
+            order = np.argsort(cand, kind="stable")
+            cs = cand[order]
+            newg = np.concatenate([[True], cs[1:] != cs[:-1]])
+            gstart_per = np.maximum.accumulate(
+                np.where(newg, np.arange(len(cs)), 0))
+            rank = np.arange(len(cs)) - gstart_per
+            ok = rank < (CUCKOO_CAP - fill[cs])
+            pidx = un[order[ok]]
+            bucket[pidx] = cs[ok]
+            slot[pidx] = fill[cs[ok]] + rank[ok]
+            np.add.at(fill, cs[ok], 1)
+            un = un[order[~ok]]
+        if len(un) == 0:
+            hkeys = np.full((nb, 2 * CUCKOO_CAP), 0xFFFFFFFF, np.uint32)
+            hkeys[bucket, 2 * slot] = k0
+            hkeys[bucket, 2 * slot + 1] = k1
+            vals = np.zeros((nb * CUCKOO_CAP, 2), np.uint32)
+            fidx = bucket * CUCKOO_CAP + slot
+            vals[fidx, 0] = np.where(count == 1, edge + 1, 0).astype(
+                np.uint32)
+            vals[fidx, 1] = pos.astype(np.uint32)
+            return hkeys, vals, salt
+    return None
+
+
+def _cuckoo_probe(hkeys, vals, salt, queries):
+    """Device probe: returns (edge_sing (Q,) int32 [-1 when the key is
+    absent or non-singleton], pos (Q,) int32, found (Q,) bool)."""
+    nb = hkeys.shape[0]
+    mask = np.uint32(nb - 1)
+    q0, q1 = queries[:, 0], queries[:, 1]
+    b1 = _cuckoo_h(q0, q1, salt, mask, 0).astype(jnp.int32)
+    b2 = _cuckoo_h(q0, q1, salt, mask, 1).astype(jnp.int32)
+    r1 = hkeys[b1]                                    # (Q, 8) row gather
+    r2 = hkeys[b2]
+    m1 = (r1[:, 0::2] == q0[:, None]) & (r1[:, 1::2] == q1[:, None])
+    m2 = (r2[:, 0::2] == q0[:, None]) & (r2[:, 1::2] == q1[:, None])
+    m = jnp.concatenate([m1, m2], axis=1)             # (Q, 8)
+    found = jnp.any(m, axis=1)
+    s = jnp.argmax(m, axis=1).astype(jnp.int32)
+    fidx = jnp.where(s < CUCKOO_CAP, b1 * CUCKOO_CAP + s,
+                     b2 * CUCKOO_CAP + (s - CUCKOO_CAP))
+    v = vals[fidx]                                    # (Q, 2) row gather
+    edge_sing = jnp.where(found, v[:, 0].astype(jnp.int32) - 1, -1)
+    return edge_sing, v[:, 1].astype(jnp.int32), found
 
 
 @dataclass
@@ -158,56 +236,31 @@ class EdgeMinimizerIndex:
     count: np.ndarray       # (M,) int32 total occurrences
     k: int = MM_K
     w: int = MM_W
-    _lut: Optional[np.ndarray] = None
-    _lut_bits: int = 0
-    _lut_iters: int = 0
-    _padded: Optional[tuple] = None
     _dev: Optional[tuple] = None
+    _hash: Optional[tuple] = None
 
     def device_tables(self):
-        """(keys, edge, pos, count, lut) as DEVICE arrays, shipped once
-        and cached: aux-info streams the library in dozens of map_reads
+        """(hkeys, vals, salt) as DEVICE arrays, shipped once and
+        cached: aux-info streams the library in dozens of map_reads
         calls against one index, and re-putting the multi-MB tables per
         call paid the tunnel latency each time."""
         if self._dev is None:
-            (keys_np, edge_np, pos_np, count_np, lut_np, bits,
-             iters) = self.padded_tables()
-            self._dev = (jnp.asarray(keys_np), jnp.asarray(edge_np),
-                         jnp.asarray(pos_np), jnp.asarray(count_np),
-                         jnp.asarray(lut_np), bits, iters)
+            hkeys_np, vals_np, salt = self.hash_tables()
+            self._dev = (jnp.asarray(hkeys_np), jnp.asarray(vals_np),
+                         jnp.asarray(salt))
         return self._dev
+
+    def hash_tables(self):
+        """Host cuckoo tables (hkeys (NB, 8), vals (NB*4, 2), salt),
+        built lazily and cached."""
+        if self._hash is None:
+            self._hash = build_cuckoo_tables(self.keys, self.edge,
+                                             self.pos, self.count)
+        return self._hash
 
     @property
     def singleton(self) -> np.ndarray:
         return self.count == 1
-
-    def lookup_tables(self):
-        """(lut, bits, iters) for _lut_search, built lazily and cached."""
-        if self._lut is None:
-            self._lut, self._lut_bits, self._lut_iters = \
-                build_prefix_lut(self.keys)
-        return self._lut, self._lut_bits, self._lut_iters
-
-    def padded_tables(self):
-        """(keys, edge, pos, count, lut, bits, iters) with the table
-        rows padded to a pow2 bucket: every distinct device shape pays a
-        multi-second program load over the remote-TPU tunnel, and local
-        assembly builds one index per gap.  The lut spans only the real
-        rows, so sentinel pad rows (count 0) are never probed."""
-        if self._padded is None:
-            lut, bits, iters = self.lookup_tables()
-            M = len(self.keys)
-            Mp = 1 << max(int(max(M, 2) - 1).bit_length(), 10)
-            keys = np.concatenate([
-                self.keys,
-                np.full((Mp - M, self.keys.shape[1]), 0xFFFFFFFF,
-                        np.uint32)])
-            pad1 = lambda a: np.concatenate(
-                [a, np.zeros(Mp - M, a.dtype)])
-            self._padded = (np.ascontiguousarray(keys), pad1(self.edge),
-                            pad1(self.pos), pad1(self.count), lut, bits,
-                            iters)
-        return self._padded
 
     SEG = 4096     # content window positions per device row
     SEG_B = 256    # rows per device batch
@@ -350,19 +403,20 @@ def _fmix32(x):
     return x
 
 
-def _vote_core(bases, lengths, keys, edge, pos, count, lut,
-               k: int, w: int, bits: int, iters: int):
+def _vote_core(bases, lengths, hkeys, vals, salt,
+               k: int, w: int):
     """Per-read best-edge vote (trace-level body shared by the plain
     and verified kernels).  Returns (best_edge (B,) int32 [-1 if
     unmapped/ambiguous], best_hits (B,) int32, est_start (B,) int32).
 
     Three HBM-traffic optimizations over the naive all-lanes lookup
-    (random access is the platform bottleneck, ~60M idx/s):
+    (random access is the platform bottleneck):
       1. lane compaction — only the ~16 minimizer positions of each
          read (not all L-k+1 window lanes) are looked up, via a per-read
          rank scatter into MM_CAP slots;
-      2. two-level lookup — prefix-LUT gather + ~3-step in-bucket
-         binary search instead of the 20-step full binary search;
+      2. cuckoo lookup — at most 2 bucket-row gathers + 1 fused-value
+         row gather per lane (was prefix-LUT + 4-step binary search +
+         3 value gathers: 119+45 of the 300 ms/65k-read batch);
       3. per-row tally — the (read, edge) vote tally sorts each read's
          MM_CAP lanes along the row axis ((B, 48) sort, trivial) and
          run-lengths in registers — no scatter table at all."""
@@ -386,16 +440,16 @@ def _vote_core(bases, lengths, keys, edge, pos, count, lut,
     cp = jnp.where(cval2, spc, 0).reshape(-1)
     cvalid = cval2.reshape(-1)
 
-    # 2. lookup
-    idx, found = _lut_search(keys, lut, ck, bits, iters)
-    sing = found & cvalid & (count[idx] == 1)
+    # 2. lookup: edge pre-fused with the singleton gate at build time
+    edge_sing, pos_v, found = _cuckoo_probe(hkeys, vals, salt, ck)
+    sing = cvalid & (edge_sing >= 0)
     SENT = jnp.int32(0x7FFFFFFF)
-    ce = jnp.where(sing, edge[idx], SENT).reshape(B, MM_CAP)
+    ce = jnp.where(sing, edge_sing, SENT).reshape(B, MM_CAP)
     # SIGNED start: negative when the read overhangs the edge head (the
     # verification stage scores only the on-edge overlap, reference
     # asm_reg2aln clip handling src/barcode_builder.c:497-533; callers
     # clamp to >=0 for the BWA-pos-style public value)
-    cs = pos[idx] - cp
+    cs = pos_v - cp
     cs = jnp.where(sing, cs, jnp.int32(1 << 30)).reshape(B, MM_CAP)
 
     # 3. per-row tally: sort each row by edge, run-length in lanes
@@ -435,66 +489,57 @@ def _vote_core(bases, lengths, keys, edge, pos, count, lut,
     return (be, best, jnp.where(be >= 0, best_start, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters"))
-def _map_batch(bases, lengths, keys, edge, pos, count, lut,
-               k: int, w: int, bits: int, iters: int):
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _map_batch(bases, lengths, hkeys, vals, salt, k: int, w: int):
     """Vote-only kernel (mesh-sharded path, tests)."""
-    return _vote_core(bases, lengths, keys, edge, pos, count, lut,
-                      k, w, bits, iters)
+    return _vote_core(bases, lengths, hkeys, vals, salt, k, w)
 
 
-def _verified_core(bases, lengths, keys, edge, pos, count, lut,
-                   seq_data, seq_off, thr,
-                   k: int, w: int, bits: int, iters: int,
-                   mt: int, mm: int):
+def _verified_core(bases, lengths, hkeys, vals, salt,
+                   seq_pk, seq_off, thr,
+                   k: int, w: int, mt: int, mm: int):
     """Vote + gapless verification in ONE dispatch: the read bases ship
     H2D once and the fast-path acceptance (gapless score at the voted
     start clears the per-lane threshold) is decided on device.  Only
     the rare remainder lanes go through the host DP path.
 
     Returns (best_edge, best_hits, est_start, bound, fast)."""
-    be, best, bs = _vote_core(bases, lengths, keys, edge, pos, count, lut,
-                              k, w, bits, iters)
-    bound, feas = _gapless_bound_dev(seq_data, seq_off, be, bs, bases,
+    be, best, bs = _vote_core(bases, lengths, hkeys, vals, salt, k, w)
+    bound, feas = _gapless_bound_dev(seq_pk, seq_off, be, bs, bases,
                                      lengths, mt, mm, RESCORE_PAD)
     fast = feas & (bound >= thr)
     return be, best, bs, bound, fast
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "bits", "iters",
-                                             "mt", "mm"))
-def _map_batch_verified(bases, lengths, keys, edge, pos, count, lut,
-                        seq_data, seq_off, thr,
-                        k: int, w: int, bits: int, iters: int,
-                        mt: int, mm: int):
-    return _verified_core(bases, lengths, keys, edge, pos, count, lut,
-                          seq_data, seq_off, thr, k, w, bits, iters, mt, mm)
+@functools.partial(jax.jit, static_argnames=("k", "w", "mt", "mm"))
+def _map_batch_verified(bases, lengths, hkeys, vals, salt,
+                        seq_pk, seq_off, thr,
+                        k: int, w: int, mt: int, mm: int):
+    return _verified_core(bases, lengths, hkeys, vals, salt,
+                          seq_pk, seq_off, thr, k, w, mt, mm)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "k", "w", "bits", "iters",
-                                             "mt", "mm"))
-def _map_batch_verified_packed(packed, nmask, lengths, keys, edge, pos,
-                               count, lut, seq_data, seq_off, thr, L: int,
-                               k: int, w: int, bits: int, iters: int,
-                               mt: int, mm: int):
+@functools.partial(jax.jit, static_argnames=("L", "k", "w", "mt", "mm"))
+def _map_batch_verified_packed(packed, nmask, lengths, hkeys, vals, salt,
+                               seq_pk, seq_off, thr, L: int,
+                               k: int, w: int, mt: int, mm: int):
     """Packed-wire variant: reads ship at 2.25 bits/base and unpack on
     device (same trick as kmer/megasort._extract_chunk_packed).  The
     host<->device tunnel swings 4-450 MB/s between sessions; on slow
     days the raw uint8 batches were the aux-info stage's wall."""
     from ..kmer.count import device_unpack_reads
     bases = device_unpack_reads(packed, nmask, L)
-    return _verified_core(bases, lengths, keys, edge, pos, count, lut,
-                          seq_data, seq_off, thr, k, w, bits, iters, mt, mm)
+    return _verified_core(bases, lengths, hkeys, vals, salt,
+                          seq_pk, seq_off, thr, k, w, mt, mm)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "k", "w", "bits", "iters"))
-def _map_batch_packed(packed, nmask, lengths, keys, edge, pos, count, lut,
-                      L: int, k: int, w: int, bits: int, iters: int):
+@functools.partial(jax.jit, static_argnames=("L", "k", "w"))
+def _map_batch_packed(packed, nmask, lengths, hkeys, vals, salt,
+                      L: int, k: int, w: int):
     """Packed-wire vote-only kernel (see _map_batch_verified_packed)."""
     from ..kmer.count import device_unpack_reads
     bases = device_unpack_reads(packed, nmask, L)
-    return _vote_core(bases, lengths, keys, edge, pos, count, lut,
-                      k, w, bits, iters)
+    return _vote_core(bases, lengths, hkeys, vals, salt, k, w)
 
 
 def _unpack_clean(packed, L: int, read_len: int):
@@ -510,29 +555,46 @@ def _unpack_clean(packed, L: int, read_len: int):
 
 
 @functools.partial(jax.jit, static_argnames=("L", "read_len", "k", "w",
-                                             "bits", "iters", "mt", "mm"))
-def _map_batch_verified_packedc(packed, thr, keys, edge, pos, count, lut,
-                                seq_data, seq_off, L: int, read_len: int,
-                                k: int, w: int, bits: int, iters: int,
-                                mt: int, mm: int):
+                                             "mt", "mm"))
+def _map_batch_verified_packedc(packed, thr, hkeys, vals, salt,
+                                seq_pk, seq_off, L: int, read_len: int,
+                                k: int, w: int, mt: int, mm: int):
     bases, lengths = _unpack_clean(packed, L, read_len)
-    return _verified_core(bases, lengths, keys, edge, pos, count, lut,
-                          seq_data, seq_off, thr, k, w, bits, iters, mt, mm)
+    return _verified_core(bases, lengths, hkeys, vals, salt,
+                          seq_pk, seq_off, thr, k, w, mt, mm)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "read_len", "k", "w",
-                                             "bits", "iters"))
-def _map_batch_packedc(packed, keys, edge, pos, count, lut,
-                       L: int, read_len: int, k: int, w: int, bits: int,
-                       iters: int):
+@functools.partial(jax.jit, static_argnames=("L", "read_len", "k", "w"))
+def _map_batch_packedc(packed, hkeys, vals, salt,
+                       L: int, read_len: int, k: int, w: int):
     bases, lengths = _unpack_clean(packed, L, read_len)
-    return _vote_core(bases, lengths, keys, edge, pos, count, lut,
-                      k, w, bits, iters)
+    return _vote_core(bases, lengths, hkeys, vals, salt, k, w)
 
 
 RESCORE_PAD = 16   # target-window slack around the voted start
 
 _POOL_CACHE: dict = {}   # id(np seq pool) -> (weakref, device arrays)
+
+
+POOL_PAD_W = 32   # front/back sentinel words around the packed pool
+
+
+def _pack_pool_nibbles(seq_data: np.ndarray) -> np.ndarray:
+    """4-bit-pack a base-code pool into uint32 words (8 codes/word,
+    lowest nibble first) with POOL_PAD_W sentinel words (0xF nibbles,
+    never equal to a read code) on both ends: the gapless verifier
+    gathers one word-aligned window per lane, and the front pad keeps
+    window starts non-negative for head-overhang (negative voted
+    start) lanes."""
+    n = len(seq_data)
+    nw = -(-n // 8)
+    buf = np.full(8 * nw, 0xF, np.uint8)
+    buf[:n] = seq_data
+    words = (buf.reshape(nw, 8).astype(np.uint32)
+             << (4 * np.arange(8, dtype=np.uint32))[None, :]).sum(
+                 axis=1, dtype=np.uint32)
+    pad = np.full(POOL_PAD_W, 0xFFFFFFFF, np.uint32)
+    return np.concatenate([pad, words, pad])
 
 
 def _device_pool(seq_data: np.ndarray, seq_off: np.ndarray):
@@ -544,7 +606,8 @@ def _device_pool(seq_data: np.ndarray, seq_off: np.ndarray):
     hit = _POOL_CACHE.get(key)
     if hit is not None and hit[0]() is seq_data:
         return hit[1]
-    dev = (jnp.asarray(seq_data),
+    assert len(seq_data) < (1 << 31) - (POOL_PAD_W + 2) * 8
+    dev = (jnp.asarray(_pack_pool_nibbles(seq_data)),
            jnp.asarray(np.ascontiguousarray(seq_off, np.int32)))
     if len(_POOL_CACHE) > 8:
         _POOL_CACHE.clear()
@@ -553,22 +616,12 @@ def _device_pool(seq_data: np.ndarray, seq_off: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("mt", "mm", "pad"))
-def _gapless_bound_dev(seq_data, seq_off, edges, starts, bases, lengths,
+def _gapless_bound_ref(seq_data, seq_off, edges, starts, bases, lengths,
                        mt: int, mm: int, pad: int):
-    """Score of the gapless alignment at the voted (signed) offset over
-    the ON-EDGE overlap only — query bases hanging past either contig
-    end are clipped, not penalized.  This is the reference's clip
-    acceptance: asm_reg2aln extends soft-clips toward the contig ends
-    and DP-scores only the on-contig window [qb, qe)
-    (src/barcode_builder.c:497-563); an overhanging read keeps its
-    on-edge score, while full-length gates (rp counting, a.aligned <
-    read_len) exclude it naturally because its max score is the on-edge
-    length.  Computed on device so the fast path never builds target
-    windows on the host.
-
-    Returns (bound (N,) int32, feas (N,) bool); feas lanes have a
-    non-empty on-edge overlap at the voted offset (a feasible clipped
-    gapless alignment, so bound lower-bounds the clipped DP optimum)."""
+    """Oracle formulation of the gapless bound on the UNPACKED pool:
+    one scalar gather per (lane, position) — N*Lq random byte gathers,
+    which profiled as the verify stage's wall (82 of 300 ms/65k batch).
+    Kept for the equivalence test of the packed-window kernel below."""
     N, Lq = bases.shape
     e = jnp.maximum(edges, 0).astype(jnp.int32)
     elen = seq_off[e + 1] - seq_off[e]
@@ -579,6 +632,68 @@ def _gapless_bound_dev(seq_data, seq_off, edges, starts, bases, lengths,
         (j < lengths.astype(jnp.int32)[:, None])
     gidx = seq_off[e][:, None] + jnp.maximum(tpos, 0)
     tch = seq_data[jnp.clip(gidx, 0, seq_data.shape[0] - 1)]
+    nmatch = jnp.sum(((bases == tch) & on_edge).astype(jnp.int32), axis=1)
+    n_on = jnp.sum(on_edge.astype(jnp.int32), axis=1)
+    bound = nmatch * mt + (n_on - nmatch) * mm
+    feas = (n_on > 0) & (edges >= 0)
+    return bound.astype(jnp.int32), feas
+
+
+@functools.partial(jax.jit, static_argnames=("mt", "mm", "pad"))
+def _gapless_bound_dev(seq_pk, seq_off, edges, starts, bases, lengths,
+                       mt: int, mm: int, pad: int):
+    """Score of the gapless alignment at the voted (signed) offset over
+    the ON-EDGE overlap only — query bases hanging past either contig
+    end are clipped, not penalized.  This is the reference's clip
+    acceptance: asm_reg2aln extends soft-clips toward the contig ends
+    and DP-scores only the on-contig window [qb, qe)
+    (src/barcode_builder.c:497-563); an overhanging read keeps its
+    on-edge score, while full-length gates (rp counting, a.aligned <
+    read_len) exclude it naturally because its max score is the on-edge
+    length.
+
+    seq_pk is the 4-bit-packed pool from _pack_pool_nibbles.  Each
+    lane's target window is CONTIGUOUS in the pool, so instead of N*Lq
+    scalar gathers (the oracle above) this gathers ONE word-aligned
+    uint32 window per lane (vmapped dynamic_slice -> one gather of
+    slice width W), unpacks it, and aligns it to the read with an
+    8-case sub-word shift select — all dense vector ops.
+
+    Returns (bound (N,) int32, feas (N,) bool); feas lanes have a
+    non-empty on-edge overlap at the voted offset (a feasible clipped
+    gapless alignment, so bound lower-bounds the clipped DP optimum)."""
+    N, Lq = bases.shape
+    W = -(-(Lq + 7) // 8) + 1           # words per window (covers shift 0..7)
+    assert W <= POOL_PAD_W, "read length exceeds pool pad window"
+    nwords = seq_pk.shape[0]
+    e = jnp.maximum(edges, 0).astype(jnp.int32)
+    elen = seq_off[e + 1] - seq_off[e]
+    s0 = starts.astype(jnp.int32)
+    j = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    tpos = s0[:, None] + j
+    on_edge = (tpos >= 0) & (tpos < elen[:, None]) & \
+        (j < lengths.astype(jnp.int32)[:, None])
+    # window start in PADDED pool bases; the POOL_PAD_W front sentinel
+    # words keep b >= 0 for any head overhang s0 >= -(Lq-1)
+    b = seq_off[e] + s0 + jnp.int32(8 * POOL_PAD_W)
+    b = jnp.clip(b, 0, jnp.int32(8 * (nwords - W)))
+    wb = b >> 3
+    sig = b & 7
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(seq_pk, (s,), (W,)))(wb)  # (N, W)
+    # funnel-shift the whole window down by `sig` nibbles so the target
+    # always starts at nibble 0 — elementwise per-row shifts instead of
+    # 8 unaligned minor-dim slices (XLA relayouts each unaligned slice)
+    sh = (jnp.uint32(4) * sig.astype(jnp.uint32))[:, None]
+    nxt = jnp.concatenate(
+        [win[:, 1:], jnp.zeros((N, 1), jnp.uint32)], axis=1)
+    wal = jnp.where(sh == 0, win,
+                    (win >> sh) | (nxt << (jnp.uint32(32) - sh)))
+    nib = ((wal[:, :, None] >> (jnp.uint32(4)
+                                * jnp.arange(8, dtype=jnp.uint32))[None,
+                                                                   None, :])
+           & jnp.uint32(0xF)).astype(jnp.uint8).reshape(N, 8 * W)
+    tch = nib[:, :Lq]
     nmatch = jnp.sum(((bases == tch) & on_edge).astype(jnp.int32), axis=1)
     n_on = jnp.sum(on_edge.astype(jnp.int32), axis=1)
     bound = nmatch * mt + (n_on - nmatch) * mm
@@ -750,7 +865,7 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         min_score = dp.MIN_MAP_SCORE
     thr_all = (np.asarray(np.broadcast_to(min_score, (N,)), np.int32)
                if np.ndim(min_score) else np.full(N, min_score, np.int32))
-    keys, edge, pos, count, lut, bits, iters = index.device_tables()
+    hkeys, vals, salt = index.device_tables()
     verified = graph is not None
     if verified:
         sd, sod = _device_pool(graph.seq_data, graph.seq_off)
@@ -786,12 +901,12 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
                     pk = p[j : j + step] if step < rows else p
                     if verified:
                         out = _map_batch_verified_packedc(
-                            pk, tb_, keys, edge, pos, count, lut, sd, sod,
-                            L, rl, index.k, index.w, bits, iters, mt, mm)
+                            pk, tb_, hkeys, vals, salt, sd, sod,
+                            L, rl, index.k, index.w, mt, mm)
                     else:
                         out = _map_batch_packedc(
-                            pk, keys, edge, pos, count, lut,
-                            L, rl, index.k, index.w, bits, iters)
+                            pk, hkeys, vals, salt,
+                            L, rl, index.k, index.w)
                 elif kind == "packed":
                     _, p, m_, lv, L = rec
                     sl = slice(j, j + step)
@@ -799,24 +914,23 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
                                    else (p, m_, lv))
                     if verified:
                         out = _map_batch_verified_packed(
-                            pk, nm, lb_, keys, edge, pos, count, lut,
-                            sd, sod, tb_, L, index.k, index.w, bits,
-                            iters, mt, mm)
+                            pk, nm, lb_, hkeys, vals, salt,
+                            sd, sod, tb_, L, index.k, index.w, mt, mm)
                     else:
                         out = _map_batch_packed(
-                            pk, nm, lb_, keys, edge, pos, count, lut,
-                            L, index.k, index.w, bits, iters)
+                            pk, nm, lb_, hkeys, vals, salt,
+                            L, index.k, index.w)
                 else:  # raw
                     _, bd, lv = rec
                     sl = slice(j, j + step)
                     rb, lb_ = (bd[sl], lv[sl]) if step < rows else (bd, lv)
                     if verified:
                         out = _map_batch_verified(
-                            rb, lb_, keys, edge, pos, count, lut, sd, sod,
-                            tb_, index.k, index.w, bits, iters, mt, mm)
+                            rb, lb_, hkeys, vals, salt, sd, sod,
+                            tb_, index.k, index.w, mt, mm)
                     else:
-                        out = _map_batch(rb, lb_, keys, edge, pos, count,
-                                         lut, index.k, index.w, bits, iters)
+                        out = _map_batch(rb, lb_, hkeys, vals, salt,
+                                         index.k, index.w)
                 pending.append((i, min(step, N - i), out))
                 i += step
     else:
@@ -840,29 +954,27 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
                 pk, nm = host_pack_reads(np.ascontiguousarray(rb))
                 if clean and verified:
                     out = _map_batch_verified_packedc(
-                        pk, tb_, keys, edge, pos, count, lut, sd, sod,
-                        rb.shape[1], rl, index.k, index.w, bits, iters,
-                        mt, mm)
+                        pk, tb_, hkeys, vals, salt, sd, sod,
+                        rb.shape[1], rl, index.k, index.w, mt, mm)
                 elif clean:
                     out = _map_batch_packedc(
-                        pk, keys, edge, pos, count, lut,
-                        rb.shape[1], rl, index.k, index.w, bits, iters)
+                        pk, hkeys, vals, salt,
+                        rb.shape[1], rl, index.k, index.w)
                 elif verified:
                     out = _map_batch_verified_packed(
-                        pk, nm, lb_, keys, edge, pos, count, lut, sd, sod,
-                        tb_, rb.shape[1], index.k, index.w, bits, iters,
-                        mt, mm)
+                        pk, nm, lb_, hkeys, vals, salt, sd, sod,
+                        tb_, rb.shape[1], index.k, index.w, mt, mm)
                 else:
                     out = _map_batch_packed(
-                        pk, nm, lb_, keys, edge, pos, count, lut,
-                        rb.shape[1], index.k, index.w, bits, iters)
+                        pk, nm, lb_, hkeys, vals, salt,
+                        rb.shape[1], index.k, index.w)
             elif verified:
                 out = _map_batch_verified(
-                    rb, lb_, keys, edge, pos, count, lut, sd, sod, tb_,
-                    index.k, index.w, bits, iters, mt, mm)
+                    rb, lb_, hkeys, vals, salt, sd, sod, tb_,
+                    index.k, index.w, mt, mm)
             else:
-                out = _map_batch(rb, lb_, keys, edge, pos, count,
-                                 lut, index.k, index.w, bits, iters)
+                out = _map_batch(rb, lb_, hkeys, vals, salt,
+                                 index.k, index.w)
             pending.append((i, min(batch_size, N - i), out))
     for i, m, out in pending:
         edges[i : i + m] = np.asarray(out[0])[:m]

@@ -28,58 +28,54 @@ from ..mapper.minimizers import (_map_batch, _map_batch_verified,
                                  _dp_verify_rest, EdgeMinimizerIndex)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "w", "bits",
-                                              "iters", "axis"))
-def sharded_map_step(bases, lengths, keys, edge, pos, count, lut, *,
-                     mesh: Mesh, k: int, w: int, bits: int, iters: int,
-                     axis: str = "shard"):
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "w", "axis"))
+def sharded_map_step(bases, lengths, hkeys, vals, salt, *,
+                     mesh: Mesh, k: int, w: int, axis: str = "shard"):
     """One distributed vote-only mapping step.
 
-    bases/lengths are sharded over `axis`; the index arrays are
+    bases/lengths are sharded over `axis`; the cuckoo index tables are
     replicated.  Returns (best_edge, n_hits, est_start), each sharded
     like the input reads — bit-equal to the single-device kernel on the
     same rows."""
-    def body(b, l, ks, e, p, c, lt):
-        return _map_batch(b, l, ks, e, p, c, lt, k, w, bits, iters)
+    def body(b, l, hk, vl, st):
+        return _map_batch(b, l, hk, vl, st, k, w)
 
-    # check_vma off: the lookup loop carry starts replicated (zeros)
-    # and becomes device-varying inside the body, which the
-    # varying-manual-axes checker rejects; the body itself is pure
-    # per-device compute with no collectives.
+    # check_vma off: replicated operands become device-varying inside
+    # the body, which the varying-manual-axes checker rejects; the body
+    # itself is pure per-device compute with no collectives.
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(None, None), P(None), P(None),
-                  P(None), P(None)),
+        in_specs=(P(axis, None), P(axis), P(None, None), P(None, None),
+                  P()),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    return f(bases, lengths, keys, edge, pos, count, lut)
+    return f(bases, lengths, hkeys, vals, salt)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "w", "bits",
-                                             "iters", "mt", "mm", "axis"))
-def sharded_map_step_verified(bases, lengths, thr, keys, edge, pos, count,
-                              lut, seq_data, seq_off, *, mesh: Mesh, k: int,
-                              w: int, bits: int, iters: int, mt: int,
-                              mm: int, axis: str = "shard"):
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "w", "mt", "mm",
+                                             "axis"))
+def sharded_map_step_verified(bases, lengths, thr, hkeys, vals, salt,
+                              seq_pk, seq_off, *, mesh: Mesh, k: int,
+                              w: int, mt: int, mm: int,
+                              axis: str = "shard"):
     """Distributed fused vote + gapless-verification step (VERDICT r2 #3:
     the mesh path must not fall back to host DP for the bulk of lanes).
 
     Returns (best_edge, n_hits, est_start, bound, fast), sharded like
     the reads — bit-equal to _map_batch_verified on the same rows."""
-    def body(b, l, t, ks, e, p, c, lt, sd, so):
-        return _map_batch_verified(b, l, ks, e, p, c, lt, sd, so, t,
-                                   k, w, bits, iters, mt, mm)
+    def body(b, l, t, hk, vl, st, sd, so):
+        return _map_batch_verified(b, l, hk, vl, st, sd, so, t,
+                                   k, w, mt, mm)
 
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(None, None), P(None),
-                  P(None), P(None), P(None), P(None), P(None)),
+        in_specs=(P(axis, None), P(axis), P(axis), P(None, None),
+                  P(None, None), P(), P(None), P(None)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    return f(bases, lengths, thr, keys, edge, pos, count, lut,
-             seq_data, seq_off)
+    return f(bases, lengths, thr, hkeys, vals, salt, seq_pk, seq_off)
 
 
 def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
@@ -105,13 +101,10 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
     verified = graph is not None
     rep = NamedSharding(mesh, P())
     rep2 = NamedSharding(mesh, P(None, None))
-    keys_np, edge_np, pos_np, count_np, lut_np, bits, iters = \
-        index.padded_tables()
-    keys = jax.device_put(keys_np, rep2)
-    edge = jax.device_put(edge_np, rep)
-    pos = jax.device_put(pos_np, rep)
-    count = jax.device_put(count_np, rep)
-    lut = jax.device_put(lut_np, rep)
+    hkeys_np, vals_np, salt_np = index.hash_tables()
+    hkeys = jax.device_put(hkeys_np, rep2)
+    vals = jax.device_put(vals_np, rep2)
+    salt = jax.device_put(salt_np, rep)
     if verified:
         from ..ops import dp
         if min_score is None:
@@ -119,7 +112,8 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
         thr_all = (np.asarray(np.broadcast_to(min_score, (N,)), np.int32)
                    if np.ndim(min_score) else np.full(N, min_score, np.int32))
         mt, mm = int(dp.SCORING_BWA[0]), int(dp.SCORING_BWA[1])
-        sd = jax.device_put(graph.seq_data, rep)
+        from ..mapper.minimizers import _pack_pool_nibbles
+        sd = jax.device_put(_pack_pool_nibbles(graph.seq_data), rep)
         sod = jax.device_put(
             np.ascontiguousarray(graph.seq_off, np.int32), rep)
         bound = np.zeros(N, np.int64)
@@ -145,13 +139,12 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
                                   np.int32)])
             dt = jax.device_put(tb_, shl)
             pending.append((i, sharded_map_step_verified(
-                db, dl, dt, keys, edge, pos, count, lut, sd, sod, mesh=mesh,
-                k=index.k, w=index.w, bits=bits, iters=iters, mt=mt, mm=mm,
-                axis=axis)))
+                db, dl, dt, hkeys, vals, salt, sd, sod, mesh=mesh,
+                k=index.k, w=index.w, mt=mt, mm=mm, axis=axis)))
         else:
             pending.append((i, sharded_map_step(
-                db, dl, keys, edge, pos, count, lut, mesh=mesh, k=index.k,
-                w=index.w, bits=bits, iters=iters, axis=axis)))
+                db, dl, hkeys, vals, salt, mesh=mesh, k=index.k,
+                w=index.w, axis=axis)))
     for i, out in pending:
         m = min(batch_size, N - i)
         edges[i : i + m] = np.asarray(out[0])[:m]

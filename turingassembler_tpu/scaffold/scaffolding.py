@@ -201,6 +201,8 @@ def _candidate_edges_fast(g: AsmGraph, usable, lens, cov, is_long_arr
     pos = sc > 0
     src, des, sc = src[pos], des[pos], sc[pos]
 
+    if len(src) == 0:
+        return adj_out
     # per-src: sort by (-score, des), top-11, 2x-drop cliff
     order = np.lexsort((des, -sc, src))
     src, des, sc = src[order], des[order], sc[order]
