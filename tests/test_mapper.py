@@ -454,3 +454,35 @@ def test_gapless_bound_packed_equals_ref():
     assert np.array_equal(np.asarray(f_ref), np.asarray(f_pk))
     fr = np.asarray(f_ref)
     assert np.array_equal(np.asarray(b_ref)[fr], np.asarray(b_pk)[fr])
+
+
+def test_gapless_bound_wide_read_fallback():
+    """Queries wider than the sentinel pad window (~241 bases, e.g.
+    merged pairs) must trace the per-position nibble-gather fallback
+    and still bit-match the scalar-gather oracle (ADVICE r3: the packed
+    fast path used to assert at trace time)."""
+    import jax.numpy as jnp
+
+    from turingassembler_tpu.mapper import minimizers as mm
+
+    rng = np.random.default_rng(13)
+    Lq = 8 * mm.POOL_PAD_W + 40          # W > POOL_PAD_W guaranteed
+    lens_e = [37, 2000, 600]
+    seq_off = np.concatenate([[0], np.cumsum(lens_e)]).astype(np.int64)
+    seq_data = rng.integers(0, 4, seq_off[-1]).astype(np.uint8)
+    N = 128
+    edges = rng.integers(-1, len(lens_e), N).astype(np.int32)
+    starts = rng.integers(-Lq + 1, 2100, N).astype(np.int32)
+    bases = rng.integers(0, 4, (N, Lq)).astype(np.uint8)
+    lengths = rng.integers(0, Lq + 1, N).astype(np.int32)
+    sod = jnp.asarray(seq_off.astype(np.int32))
+    b_ref, f_ref = mm._gapless_bound_ref(
+        jnp.asarray(seq_data), sod, jnp.asarray(edges), jnp.asarray(starts),
+        jnp.asarray(bases), jnp.asarray(lengths), 1, -4, mm.RESCORE_PAD)
+    pk = jnp.asarray(mm._pack_pool_nibbles(seq_data))
+    b_pk, f_pk = mm._gapless_bound_dev(
+        pk, sod, jnp.asarray(edges), jnp.asarray(starts),
+        jnp.asarray(bases), jnp.asarray(lengths), 1, -4, mm.RESCORE_PAD)
+    assert np.array_equal(np.asarray(f_ref), np.asarray(f_pk))
+    fr = np.asarray(f_ref)
+    assert np.array_equal(np.asarray(b_ref)[fr], np.asarray(b_pk)[fr])

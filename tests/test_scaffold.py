@@ -130,7 +130,10 @@ def test_candidate_edges_scale():
     out = _candidate_edges_fast(g, usable, lens, cov, is_long)
     dt = time.time() - t0
     print(f"\n20k-contig candidate scoring: {dt:.2f}s")
-    assert dt < 30.0
+    # generous bound: the functional check is the structural assertion
+    # below; this only catches a return to the minutes-scale dict tally
+    # (ADVICE r3: a tight wall-clock assert flakes on loaded machines)
+    assert dt < 120.0
     assert len(out) == int(is_long.sum())
 
 

@@ -140,12 +140,13 @@ def _cuckoo_h(q0, q1, salt, mask, which: int):
 
 def build_cuckoo_tables(keys: np.ndarray, edge: np.ndarray,
                         pos: np.ndarray, count: np.ndarray):
-    """(hkeys (NB, 8) uint32, vals (NB*4, 2) uint32, salt) or None.
+    """(hkeys (NB, 8) uint32, vals (NB*4, 2) uint32, salt).
 
     Placement is greedy 2-choice over alternating rounds (load <= 0.5
-    at 4 slots/bucket converges in 2-3 rounds); a salt bump retries the
-    rare pathological layout, and None falls back to the binary-search
-    path.  Empty slots hold 0xFFFFFFFF in both limbs — real minimizer
+    at 4 slots/bucket converges in 2-3 rounds); a salt bump and table
+    doublings retry the rare pathological layout, and the function
+    raises RuntimeError once those retries are exhausted (load 0.03 —
+    never observed).  Empty slots hold 0xFFFFFFFF in both limbs — real minimizer
     keys are left-aligned 34-bit packings (ops/limbs.py) whose second
     limb has its low 30 bits zero, so no real key matches a sentinel."""
     M = len(keys)
@@ -661,10 +662,15 @@ def _gapless_bound_dev(seq_pk, seq_off, edges, starts, bases, lengths,
 
     Returns (bound (N,) int32, feas (N,) bool); feas lanes have a
     non-empty on-edge overlap at the voted offset (a feasible clipped
-    gapless alignment, so bound lower-bounds the clipped DP optimum)."""
+    gapless alignment, so bound lower-bounds the clipped DP optimum).
+
+    Queries wider than ~8*(POOL_PAD_W-1) bases exceed the sentinel pad
+    that keeps the contiguous window in-bounds; those trace the
+    per-position nibble-gather fallback below (the _gapless_bound_ref
+    formulation on the packed pool — correct for any width, just
+    gather-bound)."""
     N, Lq = bases.shape
     W = -(-(Lq + 7) // 8) + 1           # words per window (covers shift 0..7)
-    assert W <= POOL_PAD_W, "read length exceeds pool pad window"
     nwords = seq_pk.shape[0]
     e = jnp.maximum(edges, 0).astype(jnp.int32)
     elen = seq_off[e + 1] - seq_off[e]
@@ -673,27 +679,37 @@ def _gapless_bound_dev(seq_pk, seq_off, edges, starts, bases, lengths,
     tpos = s0[:, None] + j
     on_edge = (tpos >= 0) & (tpos < elen[:, None]) & \
         (j < lengths.astype(jnp.int32)[:, None])
-    # window start in PADDED pool bases; the POOL_PAD_W front sentinel
-    # words keep b >= 0 for any head overhang s0 >= -(Lq-1)
-    b = seq_off[e] + s0 + jnp.int32(8 * POOL_PAD_W)
-    b = jnp.clip(b, 0, jnp.int32(8 * (nwords - W)))
-    wb = b >> 3
-    sig = b & 7
-    win = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(seq_pk, (s,), (W,)))(wb)  # (N, W)
-    # funnel-shift the whole window down by `sig` nibbles so the target
-    # always starts at nibble 0 — elementwise per-row shifts instead of
-    # 8 unaligned minor-dim slices (XLA relayouts each unaligned slice)
-    sh = (jnp.uint32(4) * sig.astype(jnp.uint32))[:, None]
-    nxt = jnp.concatenate(
-        [win[:, 1:], jnp.zeros((N, 1), jnp.uint32)], axis=1)
-    wal = jnp.where(sh == 0, win,
-                    (win >> sh) | (nxt << (jnp.uint32(32) - sh)))
-    nib = ((wal[:, :, None] >> (jnp.uint32(4)
-                                * jnp.arange(8, dtype=jnp.uint32))[None,
-                                                                   None, :])
-           & jnp.uint32(0xF)).astype(jnp.uint8).reshape(N, 8 * W)
-    tch = nib[:, :Lq]
+    if W > POOL_PAD_W:
+        # wide-read fallback: one nibble gather per (lane, position).
+        # Out-of-range positions clip into pad/neighbor words whose
+        # value never matters: nmatch is gated on on_edge.
+        gb = jnp.clip(seq_off[e][:, None] + tpos + jnp.int32(8 * POOL_PAD_W),
+                      0, jnp.int32(8 * nwords - 1))
+        word = jnp.take(seq_pk, gb >> 3)
+        tch = ((word >> (jnp.uint32(4) * (gb & 7).astype(jnp.uint32)))
+               & jnp.uint32(0xF)).astype(jnp.uint8)
+    else:
+        # window start in PADDED pool bases; the POOL_PAD_W front sentinel
+        # words keep b >= 0 for any head overhang s0 >= -(Lq-1)
+        b = seq_off[e] + s0 + jnp.int32(8 * POOL_PAD_W)
+        b = jnp.clip(b, 0, jnp.int32(8 * (nwords - W)))
+        wb = b >> 3
+        sig = b & 7
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(seq_pk, (s,), (W,)))(wb)  # (N, W)
+        # funnel-shift the whole window down by `sig` nibbles so the target
+        # always starts at nibble 0 — elementwise per-row shifts instead of
+        # 8 unaligned minor-dim slices (XLA relayouts each unaligned slice)
+        sh = (jnp.uint32(4) * sig.astype(jnp.uint32))[:, None]
+        nxt = jnp.concatenate(
+            [win[:, 1:], jnp.zeros((N, 1), jnp.uint32)], axis=1)
+        wal = jnp.where(sh == 0, win,
+                        (win >> sh) | (nxt << (jnp.uint32(32) - sh)))
+        nib = ((wal[:, :, None] >> (jnp.uint32(4)
+                                    * jnp.arange(8, dtype=jnp.uint32))[None,
+                                                                       None, :])
+               & jnp.uint32(0xF)).astype(jnp.uint8).reshape(N, 8 * W)
+        tch = nib[:, :Lq]
     nmatch = jnp.sum(((bases == tch) & on_edge).astype(jnp.int32), axis=1)
     n_on = jnp.sum(on_edge.astype(jnp.int32), axis=1)
     bound = nmatch * mt + (n_on - nmatch) * mm
