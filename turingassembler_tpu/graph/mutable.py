@@ -50,6 +50,21 @@ class MutableGraph:
         self.node_adj: List[List[int]] = []
         self.edges: List[MEdge] = []
         self.aux_flag = 0
+        # optional mutation journal: when a caller assigns a set here,
+        # every mutating method records the endpoint nodes of every edge
+        # it touches (pre- and post-state).  The worklist resolve drivers
+        # (resolve/barcodes.py fast paths) use it to re-check exactly the
+        # neighborhood a mutation can influence instead of rescanning
+        # every edge per fixpoint round.
+        self.touch_log: Optional[set] = None
+
+    def _touch_e(self, e: int) -> None:
+        if self.touch_log is not None and 0 <= e < len(self.edges):
+            ed = self.edges[e]
+            if ed.source != -1:
+                self.touch_log.add(ed.source)
+            if ed.target != -1:
+                self.touch_log.add(ed.target)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -128,6 +143,7 @@ class MutableGraph:
         ed = self.edges[e]
         if ed.source == -1:
             return
+        self._touch_e(e)
         adj = self.node_adj[ed.source]
         if e in adj:
             adj.remove(e)
@@ -162,6 +178,7 @@ class MutableGraph:
         id (reference asm_create_clone_edge src/assembly_graph.c:286-298)."""
         s = self.edges[src]
         s_rc = self.edges[s.rc_id]
+        self._touch_e(src)
         p = len(self.edges)
         q = p + 1
         self.edges.append(MEdge(s.source, s.target, q, s.count, s.seq.copy(), list(s.holes)))
@@ -175,6 +192,8 @@ class MutableGraph:
         (reference asm_join_edge src/assembly_graph.c:527-553)."""
         e_rc1 = self.edges[e1].rc_id
         e_rc2 = self.edges[e2].rc_id
+        self._touch_e(e1)
+        self._touch_e(e2)
         self.append_seq(e1, e2, self.ksize)
         self.edges[e1].target = self.edges[e2].target
         self.edges[e1].count += self.edges[e2].count
@@ -190,6 +209,8 @@ class MutableGraph:
         """reference asm_join_edge_with_gap src/assembly_graph.c:502-525."""
         e_rc1 = self.edges[e1].rc_id
         e_rc2 = self.edges[e2].rc_id
+        self._touch_e(e1)
+        self._touch_e(e2)
         self.append_seq_with_gap(e1, e2, gap)
         self.edges[e1].target = self.edges[e2].target
         self.edges[e1].count += self.edges[e2].count
@@ -208,6 +229,9 @@ class MutableGraph:
         e_rc1 = self.edges[e1].rc_id
         e_rc2 = self.edges[e2].rc_id
         e_rc3 = self.edges[e3].rc_id
+        self._touch_e(e1)
+        self._touch_e(e2)
+        self._touch_e(e3)
         self.append_seq(e1, e2, self.ksize)
         self.append_seq(e1, e3, self.ksize)
         self.edges[e1].target = self.edges[e3].target
@@ -224,6 +248,7 @@ class MutableGraph:
     def isolate_edge(self, e: int) -> None:
         """Detach edge e from its source onto a fresh node (reference
         isolate_edge, src/barcode_resolve2.c:936-945)."""
+        self._touch_e(e)
         src = self.edges[e].source
         if e in self.node_adj[src]:
             self.node_adj[src].remove(e)
@@ -231,6 +256,8 @@ class MutableGraph:
         self.edges[e].source = n
         self.node_adj[n] = [e]
         self.edges[self.edges[e].rc_id].target = self.node_rc[n]
+        if self.touch_log is not None:
+            self.touch_log.add(n)
 
     def join_edge_with_fill(self, e1: int, e2: int, fill: np.ndarray,
                             trim_e1: int = 0, trim_e2: int = 0) -> None:
@@ -240,6 +267,8 @@ class MutableGraph:
         used when a local-assembly path supplies the joining sequence)."""
         e_rc1 = self.edges[e1].rc_id
         e_rc2 = self.edges[e2].rc_id
+        self._touch_e(e1)
+        self._touch_e(e2)
         d1, d2 = self.edges[e1], self.edges[e2]
         r1, r2 = self.edges[e_rc1], self.edges[e_rc2]
         fill = np.asarray(fill, np.uint8)
@@ -261,6 +290,8 @@ class MutableGraph:
         """Append (e2 + original-e1) rep times to e1, capped at 2000 bp;
         add e2's count once (reference asm_unroll_loop_forward
         src/assembly_graph.c:555-574)."""
+        self._touch_e(e1)
+        self._touch_e(e2)
         orig_seq = self.edges[e1].seq.copy()
         orig_holes = list(self.edges[e1].holes)
         clone = MEdge(-2, -2, -2, 0, orig_seq, orig_holes)

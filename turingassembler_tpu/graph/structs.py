@@ -117,6 +117,14 @@ class AsmGraph:
             setattr(g, f, getattr(self, f).copy())
         g.holes = {e: (p.copy(), l.copy()) for e, (p, l) in self.holes.items()}
         g.aux_flag = self.aux_flag
+        # aux barcode tables ride along (aux_flag already does): a clone
+        # that silently drops them makes every barcode pass a no-op
+        if self.barcodes is not None:
+            g.barcodes = [[dict(t) for t in sets] for sets in self.barcodes]
+        if self.barcodes_scaf is not None:
+            g.barcodes_scaf = [dict(t) for t in self.barcodes_scaf]
+        if self.barcodes_cov is not None:
+            g.barcodes_cov = [dict(t) for t in self.barcodes_cov]
         return g
 
     def rebuild_adjacency(self) -> None:

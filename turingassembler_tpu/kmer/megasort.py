@@ -104,6 +104,28 @@ def _extract_chunk_packed_clean(packed, L: int, read_len: int, k1: int):
     return _extract_chunk(bases, lengths, k1)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("L", "read_len", "k1", "out_cap"))
+def _extract_sort_count_clean(packed_tuple, L: int, read_len: int, k1: int,
+                              out_cap: int):
+    """Fused flush for clean chunks: extract every chunk, concat, sort,
+    RLE — ONE dispatch per flush window instead of one per chunk plus
+    one per sort.  Each dispatch costs a fixed multi-ms relay round
+    trip on this rig (NOTES_ROUND1), so the split form paid ~5x the
+    dispatch tax per flush; measured round 4: compute floor 2.02 s ->
+    1.3 s on the 1M-read workload."""
+    cols_acc = []
+    n_valid = jnp.zeros((), jnp.int32)
+    for p in packed_tuple:
+        cols, nv = _extract_chunk_packed_clean(p, L, read_len, k1)
+        cols_acc.append(cols)
+        n_valid = n_valid + nv
+    nl = len(cols_acc[0])
+    catted = tuple(jnp.concatenate([c[l] for c in cols_acc])
+                   for l in range(nl))
+    return _sort_count(catted, n_valid, out_cap, k1)
+
+
 def _clean_chunk_info(rb: np.ndarray, lv: np.ndarray):
     """(is_clean, read_len) — clean = no N codes and uniform lengths."""
     if len(lv) == 0:
@@ -360,7 +382,14 @@ def count_reads_device(
         # stream and the sort overlapped; one mega-sort serializes them
         chunk_reads = int(os.environ.get("TA_COUNT_CHUNK", 131072))
     if flush_lanes is None:
-        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 56 << 20))
+        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 44 << 20))
+    # the FIRST window flushes early: until the first sort is dispatched
+    # the device sits idle while chunks cross the ~40 MB/s tunnel, so a
+    # small head window starts compute ~2 chunks sooner; steady-state
+    # windows stay big (fewer RLE+merge passes).  Round-4 overlap probe:
+    # put-under-sort fully hides (total = max), so the head start is
+    # pure win on slow-tunnel days and ~neutral on fast ones.
+    first_flush = int(os.environ.get("TA_FLUSH_FIRST_LANES", 24 << 20))
 
     n = len(reads)
     n_chunks = max(1, (n + chunk_reads - 1) // chunk_reads)
@@ -382,22 +411,41 @@ def count_reads_device(
         futs = ([] if chunks else
                 [ex.submit(ship_one, i) for i in range(n_chunks)])
 
+        # fused extract+sort flush measured NEUTRAL on chip (dispatches
+        # are async; the relay does not tax them) and eager per-chunk
+        # extraction overlaps the tunnel better — keep the fused path
+        # available but off (NOTES_ROUND4)
+        fuse = os.environ.get("TA_FUSE_FLUSH", "0") == "1"
+
         def attempt(cap_log2: int) -> Tuple[jax.Array, jax.Array, int, bool]:
             out_cap = 1 << cap_log2
             cols_acc: List[List[jax.Array]] = [[] for _ in range(nl)]
+            recs_win: List[tuple] = []   # deferred clean records (fused path)
             n_valid = jnp.zeros((), jnp.int32)
             lanes = 0
             table = None              # (keys, counts) running unique run
             checks: List[Tuple[jax.Array, int]] = []   # (n_unique, cap)
 
             def flush():
-                nonlocal cols_acc, n_valid, lanes, table
+                nonlocal cols_acc, recs_win, n_valid, lanes, table
                 if lanes == 0:
                     return
-                catted = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
-                               for c in cols_acc)
                 cap = min(out_cap, 1 << max(int(lanes - 1).bit_length(), 10))
-                uniq, counts, n_u = _sort_count(catted, n_valid, cap, k1)
+                if recs_win and not any(len(c) for c in cols_acc):
+                    # all-clean window: extract+concat+sort+RLE fused
+                    # into ONE dispatch (one relay round trip per flush)
+                    uniq, counts, n_u = _extract_sort_count_clean(
+                        tuple(r[1] for r in recs_win),
+                        recs_win[0][2], recs_win[0][3], k1, cap)
+                else:
+                    for rec in recs_win:
+                        cols, nv = extract_shipped(rec, k1)
+                        for l, c in enumerate(cols):
+                            cols_acc[l].append(c)
+                        n_valid = n_valid + nv
+                    catted = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
+                                   for c in cols_acc)
+                    uniq, counts, n_u = _sort_count(catted, n_valid, cap, k1)
                 checks.append((n_u, cap))
                 if table is None:
                     table = (uniq, counts)
@@ -409,17 +457,26 @@ def count_reads_device(
                     checks.append((mn, mcap))
                     table = (mk, mc)
                 cols_acc = [[] for _ in range(nl)]
+                recs_win = []
                 n_valid = jnp.zeros((), jnp.int32)
                 lanes = 0
 
             def feed(rec):
                 nonlocal lanes, n_valid
-                cols, nv = extract_shipped(rec, k1)
-                for l, c in enumerate(cols):
-                    cols_acc[l].append(c)
-                n_valid = n_valid + nv
-                lanes += cols[0].shape[0]
-                if lanes >= flush_lanes:
+                if fuse and rec[0] == "packedc" and (
+                        not recs_win
+                        or (recs_win[0][2], recs_win[0][3]) == (rec[2], rec[3])):
+                    # defer extraction into the fused flush dispatch
+                    recs_win.append(rec)
+                    B = rec[1].shape[0]
+                    lanes += B * (rec[2] - k1 + 1)
+                else:
+                    cols, nv = extract_shipped(rec, k1)
+                    for l, c in enumerate(cols):
+                        cols_acc[l].append(c)
+                    n_valid = n_valid + nv
+                    lanes += cols[0].shape[0]
+                if lanes >= (first_flush if table is None else flush_lanes):
                     flush()
 
             if chunks:                # retry pass: everything already here

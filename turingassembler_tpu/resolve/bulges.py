@@ -324,7 +324,17 @@ def _resolve_bulges_once(g: MutableGraph) -> int:
 
 def resolve_complex_bulges_ite(g: AsmGraph) -> AsmGraph:
     """Iterate complex-bulge suppression + condense (reference
-    asm_resolve_complex_bulges_ite complex_resolve.c:449-470)."""
+    asm_resolve_complex_bulges_ite complex_resolve.c:449-470).
+
+    Above the driver's vectorization threshold the array-graph twin
+    runs instead (resolve/vectorized.resolve_complex_bulges — same
+    per-source algorithm on CSR arrays behind an exact candidate-source
+    prefilter); this MutableGraph form is the oracle, equivalence-tested
+    in tests/test_vectorized_resolve.py."""
+    from .driver import VEC_MIN_EDGES
+    if g.n_e >= VEC_MIN_EDGES:
+        from .vectorized import resolve_complex_bulges
+        return resolve_complex_bulges(g)
     while True:
         mg = MutableGraph.from_asm(g)
         resolved = _resolve_bulges_once(mg)

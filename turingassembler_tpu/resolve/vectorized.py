@@ -353,3 +353,267 @@ def resolve_simple_bulges(g: AsmGraph) -> AsmGraph:
             return g
         g, new_to_old = asm_condense(g, return_map=True)
         node_map = node_map[np.asarray(new_to_old, np.int64)]
+
+
+# ---------------------------------------------------------------------------
+# complex bulges without python-object graphs (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+def _bulge_candidate_sources(g: AsmGraph) -> np.ndarray:
+    """Sources whose dominated set can grow past {s} — the only sources
+    the per-source pass (reference get_dominated_vertices,
+    src/complex_resolve.c:66-107) can mutate anything from.
+
+    dom(s) grows iff some successor u of s has ALL of its in-edges
+    coming from s (multi-edges counted) and u is not a parent of s; a
+    source failing that provably breaks out of the bulge loop with no
+    removal (order == [s]), so skipping it is exact.  Computed for all
+    sources at once with one sorted (src, tgt) pair count."""
+    src = g.edge_source.astype(np.int64)
+    live = src >= 0
+    eids = np.flatnonzero(live)
+    if len(eids) == 0:
+        return np.zeros(0, np.int64)
+    s = src[eids]
+    t = g.edge_target[eids].astype(np.int64)
+    indeg = np.bincount(t, minlength=g.n_v).astype(np.int64)
+    key = s * np.int64(g.n_v) + t
+    uk, cnt = np.unique(key, return_counts=True)
+    us, ut = uk // g.n_v, uk % g.n_v
+    full = (cnt == indeg[ut]) & (us != ut)
+    if not full.any():
+        return np.zeros(0, np.int64)
+    # u must not be a parent of s: edge u->s must not exist
+    back = ut[full] * np.int64(g.n_v) + us[full]
+    has_back = np.isin(back, uk, assume_unique=False)
+    return np.unique(us[full][~has_back])
+
+
+class _CsrView:
+    """Frozen CSR snapshot of an array graph plus a dead-edge mask the
+    bulge pass tombstones into (adjacency is rebuilt lazily only after
+    a resolution — removals are rare)."""
+
+    def __init__(self, g: AsmGraph):
+        self.g = g
+        self.tgt = g.edge_target.astype(np.int64)
+        self.srcv = g.edge_source.astype(np.int64)
+        self.rc = g.edge_rc.astype(np.int64)
+        self.rc_node = g.node_rc.astype(np.int64)
+        self.lens = g.edge_len().astype(np.int64)
+        self.adj_e, self.boff = _csr(g)
+        self.dead = g.edge_source < 0
+
+    def adj(self, v: int):
+        """Live out-edge ids of v, ascending (MutableGraph order)."""
+        for j in range(self.boff[v], self.boff[v + 1]):
+            e = int(self.adj_e[j])
+            if not self.dead[e]:
+                yield e
+
+    def deg(self, v: int) -> int:
+        d = 0
+        for j in range(self.boff[v], self.boff[v + 1]):
+            if not self.dead[self.adj_e[j]]:
+                d += 1
+        return d
+
+    def in_edges(self, v: int):
+        """(edge, parent) of live in-edges via rc adjacency."""
+        for e_rc in self.adj(int(self.rc_node[v])):
+            e = int(self.rc[e_rc])
+            yield e, int(self.srcv[e])
+
+    def remove_edge(self, e: int):
+        self.dead[e] = True
+        self.g.edge_source[e] = -1
+
+
+def _try_resolve_bulge_at(cv: _CsrView, s: int) -> bool:
+    """The full per-source bulge algorithm of the MutableGraph oracle
+    (resolve/bulges._resolve_bulges_once body; reference
+    src/complex_resolve.c:264-447) on the CSR view.  Returns True when
+    a bulge was suppressed (edges tombstoned in place)."""
+    from collections import deque
+
+    # get_dominated_vertices (complex_resolve.c:66-107)
+    s_parents = {p for _, p in cv.in_edges(s)}
+    dom = set()
+    deg_in = {}
+    q = deque([s])
+    while q:
+        v = q.popleft()
+        dom.add(v)
+        for e in cv.adj(v):
+            u = int(cv.tgt[e])
+            deg_in[u] = deg_in.get(u, 0) + 1
+            if deg_in[u] == cv.deg(int(cv.rc_node[u])) and u not in s_parents:
+                q.append(u)
+
+    # get_distance pop order within dom (:233-263)
+    L = {s: 0}
+    order = []
+    q = deque([s])
+    while q:
+        v = q.popleft()
+        order.append(v)
+        for e in cv.adj(v):
+            u = int(cv.tgt[e])
+            if u in dom and u not in L:
+                L[u] = L[v] + 1
+                q.append(u)
+
+    B = {s}
+    B_list = [s]
+    ci = 1
+    while True:
+        nxt = -1
+        while ci < len(order):
+            cand = order[ci]
+            ci += 1
+            if cand not in B:
+                nxt = cand
+                break
+        if nxt == -1:
+            return False
+        B.add(nxt)
+        B_list.append(nxt)
+
+        # get_closure (:148-199)
+        in_queue = set()
+        q = deque()
+        escaped = False
+        for v in list(B_list):
+            if any(int(cv.tgt[e]) in B for e in cv.adj(v)):
+                in_queue.add(v)
+                q.append(v)
+
+        def add_dfs(v0: int):
+            stack = [(v0, 0)]
+            while stack:
+                v, depth = stack.pop()
+                int_vertex = depth > 0 or any(
+                    int(cv.tgt[e]) in B for e in cv.adj(v))
+                if int_vertex and v not in in_queue:
+                    in_queue.add(v)
+                    q.append(v)
+                if v in B:
+                    continue
+                B.add(v)
+                B_list.append(v)
+                for _, p in cv.in_edges(v):
+                    stack.append((p, depth + 1))
+
+        while q:
+            v = q.popleft()
+            for e in cv.adj(v):
+                u = int(cv.tgt[e])
+                if u not in dom:
+                    escaped = True
+                    break
+                if u not in B:
+                    add_dfs(u)
+            if escaped:
+                break
+        if escaped:
+            return False
+
+        # is_complex_closure (:201-231)
+        complex_cl = any(int(cv.tgt[e]) == s for e in cv.adj(s))
+        if not complex_cl:
+            longest = 0
+            for v in B_list:
+                if int(cv.rc_node[v]) in B:
+                    complex_cl = True
+                    break
+                for e in cv.adj(v):
+                    if int(cv.tgt[e]) in B:
+                        longest = max(longest, int(cv.lens[e]))
+            complex_cl = complex_cl or longest >= 1000
+        if complex_cl:
+            return False
+
+        # is_closure_tree (:109-124)
+        tree = True
+        for v in B_list:
+            c = sum(1 for _, p in cv.in_edges(v) if p in B)
+            if c > 1:
+                tree = False
+                break
+        if tree:
+            continue
+
+        # bfs_to_sinks + supress_bulge (:266-340)
+        PE = {s: -1}
+        visited = {s}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for e in cv.adj(v):
+                u = int(cv.tgt[e])
+                if u in B and u not in visited:
+                    visited.add(u)
+                    PE[u] = e
+                    q.append(u)
+        mark = {s}
+        for v in B_list:
+            if any(int(cv.tgt[e]) in B for e in cv.adj(v)):
+                continue  # not a sink
+            w = v
+            while w not in mark:
+                mark.add(w)
+                e = PE.get(w, -2)
+                if e < 0:
+                    break
+                w = int(cv.srcv[e])
+        rm = set()
+        for v in B_list:
+            for e in cv.adj(v):
+                u = int(cv.tgt[e])
+                rc = int(cv.rc[e])
+                if u not in B:
+                    continue
+                if v not in mark or u not in mark or \
+                        (PE.get(u, -2) != e and PE.get(u, -2) != rc):
+                    rm.add(e)
+                    rm.add(rc)
+        for e in rm:
+            cv.remove_edge(e)
+        return True
+
+
+def _complex_bulges_round(g: AsmGraph) -> int:
+    """One in-place round — same result as the oracle's
+    _resolve_bulges_once loop over ALL sources, visiting only sources
+    whose dominated set can grow.  The candidate prefilter is recomputed
+    after every resolution (a removal can flip later sources' candidacy
+    both ways), so the processed graph state at each source matches the
+    oracle's sequential mutation order exactly."""
+    res = 0
+    s_min = 0
+    while True:
+        cand = _bulge_candidate_sources(g)
+        cand = cand[cand >= s_min]
+        cv = _CsrView(g)
+        advanced = False
+        for s in cand:
+            if _try_resolve_bulge_at(cv, int(s)):
+                res += 1
+                s_min = int(s) + 1
+                advanced = True
+                break
+        if not advanced:
+            return res
+
+
+def resolve_complex_bulges(g: AsmGraph) -> AsmGraph:
+    """Array-graph twin of bulges.resolve_complex_bulges_ite (reference
+    asm_resolve_complex_bulges_ite, src/complex_resolve.c:449-470):
+    bulge round -> condense to fixpoint, no MutableGraph conversion."""
+    from ..graph.condense import asm_condense
+    g = g.clone()
+    while True:
+        resolved = _complex_bulges_round(g)
+        if not resolved:
+            return g
+        g = asm_condense(g)
