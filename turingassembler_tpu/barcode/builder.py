@@ -117,46 +117,95 @@ def _attach(g: AsmGraph, lens, e: int, pos: int, bc: int) -> None:
         d[bc] = d.get(bc, 0) + 1
 
 
-def _bulk_attach(g: AsmGraph, lens, edges: np.ndarray, pos: np.ndarray,
-                 bcs: np.ndarray) -> None:
-    """Vectorized barcode attachment: group (edge, bc) hits per level
-    with lexsort + reduceat, then bulk-update the per-edge dicts.  Same
-    semantics as the per-read _attach but ~50x less python overhead."""
+# attach stores, in table order: barcodes lvl0/1/2, cov, scaf
+N_ATTACH_STORES = 5
+
+
+def attach_table(lens, edges: np.ndarray, pos: np.ndarray,
+                 bcs: np.ndarray):
+    """Pure (store, edge, barcode) -> count aggregation of one batch of
+    mapped hits — the distributable half of barcode attachment: tables
+    from different read shards merge by key-sum (merge_attach_tables),
+    so the aux-info stage runs data-parallel over processes (reference
+    threaded aux-info, src/barcode_builder.c:408-436, scaled out).
+
+    Returns (store (M,) int8, edge (M,) int64, bc (M,) uint64,
+    cnt (M,) int64), lexsorted by (store, edge, bc)."""
     mapped = edges >= 0
     valid = mapped & (bcs != np.uint64(0xFFFFFFFFFFFFFFFF))
     e = edges[valid].astype(np.int64)
     p = pos[valid].astype(np.int64)
     b = bcs[valid].astype(np.uint64)
+    empty = (np.zeros(0, np.int8), np.zeros(0, np.int64),
+             np.zeros(0, np.uint64), np.zeros(0, np.int64))
     if len(e) == 0:
-        return
+        return empty
     half_len = np.minimum(MIN_CONTIG_BARCODE, lens[e] // 2)
-    targets = [
-        (g.barcodes, 0, p <= CONTIG_LEVEL_0),
-        (g.barcodes, 1, p <= CONTIG_LEVEL_1),
-        (g.barcodes, 2, p <= CONTIG_LEVEL_2),
-        (g.barcodes_cov, None, (p > CONTIG_LEVEL_1) & (p <= CONTIG_LEVEL_2)),
-        (g.barcodes_scaf, None, p < half_len),
-    ]
-    for store, lvl, mask in targets:
-        ee, bb = e[mask], b[mask]
-        if len(ee) == 0:
-            continue
-        order = np.lexsort((bb, ee))
-        ee, bb = ee[order], bb[order]
-        starts = np.ones(len(ee), bool)
-        starts[1:] = (ee[1:] != ee[:-1]) | (bb[1:] != bb[:-1])
-        idx = np.flatnonzero(starts)
-        cnt = np.diff(np.append(idx, len(ee)))
-        ue, ub = ee[idx], bb[idx]
-        # group by edge
-        estarts = np.ones(len(ue), bool)
-        estarts[1:] = ue[1:] != ue[:-1]
-        eidx = np.append(np.flatnonzero(estarts), len(ue))
-        for j in range(len(eidx) - 1):
-            lo, hi = eidx[j], eidx[j + 1]
-            d = store[int(ue[lo])][lvl] if lvl is not None else store[int(ue[lo])]
-            for bc_, c_ in zip(ub[lo:hi].tolist(), cnt[lo:hi].tolist()):
-                d[bc_] = d.get(bc_, 0) + int(c_)
+    masks = [p <= CONTIG_LEVEL_0, p <= CONTIG_LEVEL_1, p <= CONTIG_LEVEL_2,
+             (p > CONTIG_LEVEL_1) & (p <= CONTIG_LEVEL_2), p < half_len]
+    ss, es, bs = [], [], []
+    for s, mask in enumerate(masks):
+        n = int(mask.sum())
+        if n:
+            ss.append(np.full(n, s, np.int8))
+            es.append(e[mask])
+            bs.append(b[mask])
+    if not ss:
+        return empty
+    s = np.concatenate(ss)
+    ee = np.concatenate(es)
+    bb = np.concatenate(bs)
+    order = np.lexsort((bb, ee, s))
+    s, ee, bb = s[order], ee[order], bb[order]
+    starts = np.ones(len(ee), bool)
+    starts[1:] = (s[1:] != s[:-1]) | (ee[1:] != ee[:-1]) | (bb[1:] != bb[:-1])
+    idx = np.flatnonzero(starts)
+    cnt = np.diff(np.append(idx, len(ee))).astype(np.int64)
+    return s[idx], ee[idx], bb[idx], cnt
+
+
+def merge_attach_tables(tables):
+    """Key-sum merge of attach tables from different read shards."""
+    s = np.concatenate([t[0] for t in tables])
+    e = np.concatenate([t[1] for t in tables])
+    b = np.concatenate([t[2] for t in tables])
+    c = np.concatenate([t[3] for t in tables])
+    if len(s) == 0:
+        return s, e, b, c
+    order = np.lexsort((b, e, s))
+    s, e, b, c = s[order], e[order], b[order], c[order]
+    starts = np.ones(len(s), bool)
+    starts[1:] = (s[1:] != s[:-1]) | (e[1:] != e[:-1]) | (b[1:] != b[:-1])
+    idx = np.flatnonzero(starts)
+    sums = np.add.reduceat(c, idx)
+    return s[idx], e[idx], b[idx], sums.astype(np.int64)
+
+
+def apply_attach_table(g: AsmGraph, table) -> None:
+    """Fold an attach table into the per-edge barcode dicts."""
+    s, ee, bb, cnt = table
+    stores = [(g.barcodes, 0), (g.barcodes, 1), (g.barcodes, 2),
+              (g.barcodes_cov, None), (g.barcodes_scaf, None)]
+    # group by (store, edge)
+    gstarts = np.ones(len(s), bool)
+    gstarts[1:] = (s[1:] != s[:-1]) | (ee[1:] != ee[:-1])
+    gidx = np.append(np.flatnonzero(gstarts), len(s))
+    for j in range(len(gidx) - 1):
+        lo, hi = gidx[j], gidx[j + 1]
+        store, lvl = stores[int(s[lo])]
+        d = store[int(ee[lo])][lvl] if lvl is not None else store[int(ee[lo])]
+        for bc_, c_ in zip(bb[lo:hi].tolist(), cnt[lo:hi].tolist()):
+            d[bc_] = d.get(bc_, 0) + int(c_)
+
+
+def _bulk_attach(g: AsmGraph, lens, edges: np.ndarray, pos: np.ndarray,
+                 bcs: np.ndarray) -> None:
+    """Vectorized barcode attachment: aggregate (store, edge, bc) hits
+    with one lexsort, then bulk-update the per-edge dicts.  Same
+    semantics as the per-read _attach but ~50x less python overhead."""
+    table = attach_table(lens, edges, pos, bcs)
+    if len(table[0]):
+        apply_attach_table(g, table)
 
 
 def _mirror_hits(g: AsmGraph, lens: np.ndarray, e: np.ndarray,

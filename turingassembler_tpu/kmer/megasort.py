@@ -138,6 +138,27 @@ def _clean_chunk_info(rb: np.ndarray, lv: np.ndarray):
     return True, rl
 
 
+def _clean_chunk_info_packed(nmask: np.ndarray, lv: np.ndarray):
+    """_clean_chunk_info from the pack's validity bitmask: bit j of
+    nmask row set iff base j < 4.  Scans ~L/8 bytes per read instead of
+    materializing a (B, L) bool temp — the bool form cost ~120 ms/chunk
+    of first-touch page faults ON THE SHIP THREAD's critical path
+    (round-4 measurement: the count pipeline lost ~0.6 s to it)."""
+    if len(lv) == 0:
+        return False, 0
+    rl = int(lv[0])
+    if rl <= 0 or not (lv == rl).all():
+        return False, 0
+    full, rem = divmod(rl, 8)
+    if full and (nmask[:, :full] != 0xFF).any():
+        return False, 0
+    if rem:
+        want = np.uint8((1 << rem) - 1)
+        if ((nmask[:, full] & want) != want).any():
+            return False, 0
+    return True, rl
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap", "k1"),
                    donate_argnums=(0,))
 def _sort_count(cols, n_valid, out_cap: int, k1: int):
@@ -320,8 +341,8 @@ def _ship_record(rb: np.ndarray, lv: np.ndarray, L: int, mode: str):
     """H2D one chunk; picks the cheapest wire format for its content."""
     if mode == "packed":
         from .count import host_pack_reads
-        clean, rl = _clean_chunk_info(rb, lv)
         p, m = host_pack_reads(np.ascontiguousarray(rb))
+        clean, rl = _clean_chunk_info_packed(m, lv)
         if clean:
             return ("packedc", jax.device_put(p), L, rl)
         lv_d = jax.device_put(np.ascontiguousarray(lv.astype(np.int32)))
@@ -382,7 +403,7 @@ def count_reads_device(
         # stream and the sort overlapped; one mega-sort serializes them
         chunk_reads = int(os.environ.get("TA_COUNT_CHUNK", 131072))
     if flush_lanes is None:
-        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 44 << 20))
+        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 56 << 20))
     # the FIRST window flushes early: until the first sort is dispatched
     # the device sits idle while chunks cross the ~40 MB/s tunnel, so a
     # small head window starts compute ~2 chunks sooner; steady-state
@@ -405,9 +426,13 @@ def count_reads_device(
             lv = np.concatenate([lv, np.zeros(pad, np.int32)])
         return _ship_record(rb, lv, L, mode)
 
-    # retained for the overflow retry (and for return_chunks reuse)
+    # retained for the overflow retry (and for return_chunks reuse).
+    # 2 ship threads: the relay serializes same-direction transfers (8
+    # threads move no more bytes than 1, NOTES_ROUND3), but chunk i+1's
+    # host-side pack+clean-check overlaps chunk i's network write
+    ship_threads = int(os.environ.get("TA_SHIP_THREADS", 2))
     chunks: List[tuple] = list(shipped) if shipped is not None else []
-    with ThreadPoolExecutor(1) as ex:
+    with ThreadPoolExecutor(ship_threads) as ex:
         futs = ([] if chunks else
                 [ex.submit(ship_one, i) for i in range(n_chunks)])
 
