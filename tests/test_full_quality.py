@@ -49,3 +49,52 @@ def test_repeat_genome_gapless_through_assembly3(tmp_path):
     assert res.genome_fraction > 0.97
     # repeats must be bridged: NGA50 close to the full genome
     assert res.nga50 >= 0.9 * len(genome), res
+
+
+@pytest.mark.slow
+def test_1mbp_repeat_family_gapless_through_assembly3(tmp_path):
+    """The megabase gate (VERDICT r3 #7): the closest approachable proxy
+    for the E. coli config (BASELINE.json configs[2], 4.6 Mbp) — a 1 Mbp
+    genome with a planted repeat FAMILY must come out gapless with
+    NGA50 >= 0.9x genome and 0 misassemblies, and the stage wall-clock
+    shares go to stderr for NOTES tracking."""
+    import sys
+    import time
+
+    rng = np.random.default_rng(321)
+    genome = rng.integers(0, 4, 1_000_000).astype(np.uint8)
+    rep = rng.integers(0, 4, 700).astype(np.uint8)
+    for pos in (150_000, 380_000, 610_000, 840_000):
+        copy = rep.copy()
+        # 99%-identity family: each copy mutates ~7 positions
+        mut = rng.integers(0, 700, 7)
+        copy[mut] = (copy[mut] + rng.integers(1, 4, 7)) % 4
+        genome[pos : pos + 700] = copy
+
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=12_000, n_molecules=13_000,
+        reads_per_molecule=12, read_len=120, insert=300, seed=9,
+        error_rate=0.002)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            o1.write(f"@r{i}\n{ACGT[r1[i]].tobytes().decode()}\n+\n{'I'*120}\n")
+            o2.write(f"@r{i}\n{ACGT[r2[i]].tobytes().decode()}\n+\n{'I'*120}\n")
+            oI.write(f"@r{i}\n{encode_barcode(int(bcs[i])+1,16).decode()}\n+\n{'I'*16}\n")
+
+    out = str(tmp_path / "out")
+    t0 = time.time()
+    rc = cli_main(["assembly3", "-1", f1, "-2", f2, "-I", fI,
+                   "-l", "ust", "-k0", "45", "-mc", "2", "-o", out])
+    wall = time.time() - t0
+    assert rc == 0
+    final = os.path.join(out, "scaffold.full.fasta")
+    contigs = [s for _, s in read_fasta(final)]
+    res = evaluate_assembly(contigs, tt.codes_to_str(genome))
+    print(f"\n1Mbp gate: {len(r1)} pairs, assembly3 wall {wall:.0f}s, "
+          f"NGA50 {res.nga50:,} misasm {res.n_misassemblies} "
+          f"genome_fraction {res.genome_fraction:.3f}", file=sys.stderr)
+    assert res.n_misassemblies == 0
+    assert res.genome_fraction > 0.97
+    assert res.nga50 >= 0.9 * len(genome), res

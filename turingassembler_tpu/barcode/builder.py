@@ -40,7 +40,8 @@ RP_FULL_LEN_SLACK = 30    # DP-score stand-in for rp_count_mapper's
                           # aligned == read_len gate (barcode_builder.c:677)
 
 
-def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 131072, pad_to: int = 256):
+def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 131072,
+                       pad_to: int = 256, stripe=None):
     """Stream (bases1, len1, bases2, len2, barcodes) batches from the
     sorted archive via the native loader (the python FASTQ parse was
     the aux-info stage's second-largest cost); batch widths bucket to
@@ -50,8 +51,10 @@ def _iter_sorted_pairs(rpath: ReadPath, batch_size: int = 131072, pad_to: int = 
     g1 = read_fastq_batches_native(rpath.R1_path, batch_size, pad_to,
                                    with_headers=True)
     g2 = read_fastq_batches_native(rpath.R2_path, batch_size, pad_to)
-    for (ba1, l1, hdrs) in g1:
+    for bi, (ba1, l1, hdrs) in enumerate(g1):
         ba2, l2, _ = next(g2)
+        if stripe is not None and bi % stripe[1] != stripe[0]:
+            continue   # another process's batch (multi-process assembly3)
         comments = [h[h.find(b" ") + 1 :] if b" " in h else b""
                     for h in hdrs]
         yield (np.ascontiguousarray(ba1[:, : batch_width(l1)]), l1,
@@ -268,15 +271,49 @@ def _library_mesh():
     parallel (the analogue of the reference's mapper thread fan-out,
     barcode_builder.c:408-436).  None on a single-device host."""
     import jax
+    try:
+        if jax.process_count() > 1:
+            # multi-process runs stripe batches per rank instead; a
+            # global mesh here would need lockstep batch streams
+            return None
+    except RuntimeError:
+        pass
     if len(jax.devices()) < 2:
         return None
     from ..parallel.mesh import make_mesh
     return make_mesh()
 
 
+def aux_tables_striped(cfg: Config, g: AsmGraph, rpath: ReadPath,
+                       stripe, index: Optional[EdgeMinimizerIndex] = None):
+    """One process's aux-info contribution over its batch stripe:
+    (attach_table, candidate dict) — the distributable reduction of
+    construct_aux_info (multi-process assembly3; merge with
+    merge_attach_tables + dict key-sum, apply with
+    parallel.sharded_aux.apply_aux_tables)."""
+    from ..parallel.sharded_aux import aux_tables_local
+    if index is None:
+        index = EdgeMinimizerIndex.build(g)
+    tables = []
+    cands: Dict = {}
+    for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath, stripe=stripe):
+        # rank-local mapping: the ranks' batch stripes differ, so no
+        # cross-rank collective may be dispatched here (the mesh path of
+        # aux_tables_local is for lockstep global batches)
+        t, c = aux_tables_local(g, index, b1, l1, b2, l2, bcs, mesh=None)
+        tables.append(t)
+        for k_, v in c.items():
+            cands[k_] = cands.get(k_, 0) + v
+    if not tables:
+        tables.append((np.zeros(0, np.int8), np.zeros(0, np.int64),
+                       np.zeros(0, np.uint64), np.zeros(0, np.int64)))
+    return merge_attach_tables(tables), cands
+
+
 def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
                        index: Optional[EdgeMinimizerIndex] = None,
-                       build_readpairs: bool = True) -> AsmGraph:
+                       build_readpairs: bool = True,
+                       stripe=None) -> AsmGraph:
     """Map all sorted read pairs; attach barcode sets + read-pair counts."""
     if index is None:
         index = EdgeMinimizerIndex.build(g)
@@ -284,7 +321,7 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
     lens = g.edge_len()
     n_pairs = n_mapped = 0
     mesh = _library_mesh()
-    for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
+    for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath, stripe=stripe):
         # graph=g turns on DP verification of every voted hit
         # (reference asm_reg2aln rescore, barcode_builder.c:448-563)
         e1, h1, p1 = map_reads(index, b1, l1, graph=g, mesh=mesh)
@@ -312,15 +349,17 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
 
 
 def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
-                         index: Optional[EdgeMinimizerIndex] = None
-                         ) -> Dict[Tuple[int, int], int]:
+                         index: Optional[EdgeMinimizerIndex] = None,
+                         stripe=None) -> Dict[Tuple[int, int], int]:
     """Edge-pair read-pair counts (reference get_all_read_pairs_count,
-    src/barcode_builder.c:287; feeds read_pairs_resolve)."""
+    src/barcode_builder.c:287; feeds read_pairs_resolve).  With
+    `stripe=(pid, n)` only that process's batch stripe is tallied; the
+    dicts key-sum merge across processes."""
     if index is None:
         index = EdgeMinimizerIndex.build(g)
     counts: Dict[Tuple[int, int], int] = {}
     mesh = _library_mesh()
-    for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath):
+    for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath, stripe=stripe):
         # rp_count_mapper keeps only FULL-LENGTH >=50-score alignments
         # (a.aligned < len -> skip, score floor: reference
         # barcode_builder.c:676-705); the per-lane DP threshold

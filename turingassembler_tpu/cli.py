@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 from .config import Config, LIB_TYPE_NAMES
@@ -34,6 +35,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="drop (k+1)-mers below this count")
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("-metagenomics", dest="metagenomics", action="store_true")
+    # multi-process launch (SURVEY.md §5.8): every rank runs the same
+    # command with its own --dist-pid; heavy stages stripe over ranks
+    # and merge on rank 0 (pipeline.py), which writes the final output
+    p.add_argument("--dist-coordinator", dest="dist_coordinator",
+                   default=None, help="host:port of rank 0")
+    p.add_argument("--dist-nproc", dest="dist_nproc", type=int, default=None)
+    p.add_argument("--dist-pid", dest="dist_pid", type=int, default=None)
 
 
 def _cfg_from_args(a) -> Config:
@@ -644,6 +652,13 @@ def _enable_compile_cache() -> None:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even though the container's sitecustomize
+    # imports jax (and registers the axon backend) before env vars are
+    # read — config.update is the only way to force a platform here
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     from .ops.hostmem import tune_host_malloc
     tune_host_malloc()
     _enable_compile_cache()
@@ -659,6 +674,11 @@ def main(argv=None) -> int:
     cfg = _cfg_from_args(a)
     level = logging.DEBUG if a.verbose else logging.INFO
     init_logger(cfg.out_dir, level)
+    if a.dist_nproc is not None:
+        from .parallel.distributed import init_distributed
+        init_distributed(coordinator=a.dist_coordinator,
+                         num_processes=a.dist_nproc,
+                         process_id=a.dist_pid)
     try:
         COMMANDS[a.cmd](cfg)
     except FileNotFoundError as e:

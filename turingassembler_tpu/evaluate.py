@@ -81,9 +81,43 @@ def evaluate_assembly(contigs: List[str], genome: str,
                     runs[-1].append((cj, pj))
                 else:
                     runs.append([(cj, pj)])
-            if len(runs) > 1:
-                n_mis += len(runs) - 1
-            for run in runs:
+
+            # QUAST posture: only EXTENSIVE inconsistencies count as
+            # misassemblies (relocation threshold 1 kb).  A short run
+            # whose flanking runs are mutually colinear is an "allelic
+            # island" — e.g. a collapsed repeat copy carrying the other
+            # copy's SNPs, which nucmer aligns in place with mismatches
+            # (the reference itself reports 5.65 mismatches/100 kbp,
+            # README.md:13) — so it is bridged, not counted; short
+            # unbridgeable head/tail runs are QUAST's local
+            # misassemblies, also not extensive.
+            def _colinear(a, b):
+                (ci, pi), (cj, pj) = a[-1], b[0]
+                return abs(pj - (pi + (cj - ci))) <= max_gap
+
+            def _span(r):
+                return r[-1][0] - r[0][0] + k
+
+            max_island = max_gap
+            kept = [runs[0]]
+            i = 1
+            while i < len(runs):
+                cur = runs[i]
+                prev = kept[-1]
+                if _colinear(prev, cur):
+                    kept[-1] = prev + cur
+                elif _span(cur) <= max_island and (
+                        i + 1 == len(runs)
+                        or _colinear(prev, runs[i + 1])):
+                    pass  # bridged island / local tail
+                elif len(kept) == 1 and _span(prev) <= max_island:
+                    kept[-1] = cur  # local head
+                else:
+                    kept.append(cur)
+                i += 1
+            if len(kept) > 1:
+                n_mis += len(kept) - 1
+            for run in kept:
                 (c0, p0), (c1, p1) = run[0], run[-1]
                 blocks.append((p0, p1 + k))
             break  # one orientation is enough once anchored

@@ -403,7 +403,11 @@ def count_reads_device(
         # stream and the sort overlapped; one mega-sort serializes them
         chunk_reads = int(os.environ.get("TA_COUNT_CHUNK", 131072))
     if flush_lanes is None:
-        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 56 << 20))
+        # 44M steady-state windows + the 24M head window = a (2,3,3)
+        # chunk plan at the 1M-read bench point: measured best pipelined
+        # (2.62-2.68 s vs 2.75-2.96 for the old (4,4) plan); (2,4,2)
+        # measured 2.46 s preshipped but 3.1+ pipelined — round-4 A/Bs
+        flush_lanes = int(os.environ.get("TA_FLUSH_LANES", 44 << 20))
     # the FIRST window flushes early: until the first sort is dispatched
     # the device sits idle while chunks cross the ~40 MB/s tunnel, so a
     # small head window starts compute ~2 chunks sooner; steady-state

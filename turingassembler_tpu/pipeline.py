@@ -42,6 +42,38 @@ def graph_path(out_dir: str, k: int, suffix: str, ext: str = "bin") -> str:
     return os.path.join(out_dir, f"graph_k_{k}_{suffix}.{ext}")
 
 
+# ---------------------------------------------------------------------------
+# multi-process plumbing (SURVEY.md §5.8): under `jax.distributed` (the
+# CLI's --dist-* flags or JAX_COORDINATOR_ADDRESS), assembly3 runs its
+# full-library stages data-parallel over process stripes — counting, the
+# read-pair-count map, and the aux-info map each reduce to associative
+# key-sum tables that merge on rank 0 (the KMC partition-merge posture,
+# reference src/KMC_reader.c:287-310, scaled to processes) — while graph
+# transforms run on rank 0 between barriers over the shared out_dir.
+# ---------------------------------------------------------------------------
+
+def _dist_info() -> Tuple[int, int]:
+    import jax
+    try:
+        return jax.process_index(), jax.process_count()
+    except RuntimeError:
+        return 0, 1
+
+
+def _dist_barrier(tag: str) -> None:
+    pid, n = _dist_info()
+    if n > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def _striped(batches, pid: int, n: int):
+    """Every n-th batch, offset pid — the process's input stripe."""
+    for i, b in enumerate(batches):
+        if i % n == pid:
+            yield b
+
+
 def save_graph_info(g: AsmGraph, out_dir: str, suffix: str) -> None:
     """reference save_graph_info (process.c:516-532): bin + gfa + fasta."""
     os.makedirs(out_dir, exist_ok=True)
@@ -95,6 +127,37 @@ def build_0(cfg: Config, out_dir: Optional[str] = None) -> AsmGraph:
     if not (cfg.files_1 or cfg.files_2):
         raise SystemExit("build_0: no input reads (use -1/-2)")
     t0 = time.time()
+    pid, nproc = _dist_info()
+    if nproc > 1:
+        # N-process counting: each rank counts its batch stripe with its
+        # own engine, rank 0 key-sum merges the runs and builds
+        from .ops.sortops import np_merge_count_runs
+        dist_dir = os.path.join(out_dir, "dist")
+        os.makedirs(dist_dir, exist_ok=True)
+        kedges, counts = count_kedges_from_batches(
+            _striped(_genomic_batches(cfg), pid, nproc), k, min_count=1)
+        np.savez(os.path.join(dist_dir, f"count_rank{pid}.npz"),
+                 kedges=kedges, counts=counts)
+        log.info("rank %d/%d counted %d unique (k+1)-mers in %.1fs",
+                 pid, nproc, len(kedges), time.time() - t0)
+        _dist_barrier("count_runs")
+        if pid != 0:
+            return None
+        runs = []
+        for r in range(nproc):
+            z = np.load(os.path.join(dist_dir, f"count_rank{r}.npz"))
+            runs.append((z["kedges"], z["counts"].astype(np.int64)))
+        kedges, counts = np_merge_count_runs(runs)
+        mc = cfg.device.min_kmer_count
+        if mc > 1 and len(counts):
+            keep = counts >= mc
+            kedges, counts = kedges[keep], counts[keep]
+        g = build_graph_from_kedges(kedges, counts, k)
+        log.info("merged %d-rank count: %d unique; level-0 n_v=%d n_e=%d",
+                 nproc, len(kedges), g.n_v, g.n_e)
+        check_graph(g, check_seq=False)
+        save_graph_info(g, out_dir, "level_0")
+        return g
     # -sm drives the counting memory budget (the reference hands it to
     # KMC, src/main.c:234-236): beyond mmem_gb of host-resident count
     # runs the megasort engine spills to disk and k-way merges
@@ -171,15 +234,24 @@ def build_1_2(cfg: Config, g: Optional[AsmGraph] = None,
     return g
 
 
-def assembly_basic(cfg: Config) -> AsmGraph:
-    """Stages 0-2 (the graph-only part of assembly3)."""
+def assembly_basic(cfg: Config) -> Optional[AsmGraph]:
+    """Stages 0-2 (the graph-only part of assembly3).  Multi-process:
+    counting is striped over ranks (build_0); the graph transforms run
+    on rank 0 while the others wait at the level_2 barrier (returns
+    None on non-zero ranks)."""
     from .logging_utils import set_log_stage
     set_log_stage("build_0")
     g = build_0(cfg)
+    pid, nproc = _dist_info()
+    if nproc > 1 and pid != 0:
+        _dist_barrier("level_2")
+        return None
     set_log_stage("build_0_1")
     g = build_0_1(cfg, g)
     set_log_stage("build_1_2")
     g = build_1_2(cfg, g)
+    if nproc > 1:
+        _dist_barrier("level_2")
     return g
 
 
@@ -191,45 +263,110 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
     read-pair counting + greedy extension into graph_k_<k>_extend.fasta,
     reload as a contig graph, k=31 coverage recount, barcode aux info,
     scaffolding, and per-gap local-assembly bridging."""
-    from .barcode.sort_read import sort_reads
+    from .barcode.sort_read import ReadPath, sort_reads
     from .barcode.builder import construct_aux_info, get_read_pair_counts
+    from .config import LIB_TYPE_SORTED
     from .logging_utils import set_log_stage
     from .scaffold.scaffolding import scaffolding as scaffold_stage
     from .localasm.bridge import build_bridge
 
     out_dir = cfg.out_dir
+    pid, nproc = _dist_info()
+    dist_dir = os.path.join(out_dir, "dist")
     g = assembly_basic(cfg)
 
     set_log_stage("sort_read")
-    rpath = sort_reads(cfg)
-    log.info("sorted read archive: %s", rpath.idx_path)
-    # archive integrity invariant (reference test_same_barcode,
-    # src/barcode_resolve2.c:1554-1588): sampled post-sort check that
-    # every indexed span is aligned FASTQ of exactly its barcode
-    from .barcode.sort_read import verify_read_archive
-    n_checked = verify_read_archive(rpath, max_barcodes=256)
-    log.info("read archive integrity: %d barcodes verified", n_checked)
+    if nproc > 1 and pid != 0:
+        _dist_barrier("sorted")
+        # the archive lives at deterministic paths in the shared out_dir
+        rpath = (ReadPath.from_sorted(cfg) if cfg.lib_type == LIB_TYPE_SORTED
+                 else ReadPath(os.path.join(out_dir, "R1.sorted.fq"),
+                               os.path.join(out_dir, "R2.sorted.fq"),
+                               os.path.join(out_dir, "barcode.idx")))
+        g = asmg.load_graph(graph_path(out_dir, cfg.k0, "level_2"))
+    else:
+        rpath = sort_reads(cfg)
+        log.info("sorted read archive: %s", rpath.idx_path)
+        # archive integrity invariant (reference test_same_barcode,
+        # src/barcode_resolve2.c:1554-1588): sampled post-sort check that
+        # every indexed span is aligned FASTQ of exactly its barcode
+        from .barcode.sort_read import verify_read_archive
+        n_checked = verify_read_archive(rpath, max_barcodes=256)
+        log.info("read archive integrity: %d barcodes verified", n_checked)
+        if nproc > 1:
+            _dist_barrier("sorted")
 
     if extend and int(g.alive_mask().sum()) > 2:
         from .graph.from_contigs import graph_from_contigs
         from .io.fasta import read_fasta
-        from .kmer.coverage import recount_coverage
         from .mapper.minimizers import EdgeMinimizerIndex
         from .resolve.readpairs import get_long_contigs_by_readpairs
 
         set_log_stage("readpair_extend")
-        rp_counts = get_read_pair_counts(cfg, g, rpath)
-        ext_path = graph_path(out_dir, cfg.k0, "extend", "fasta")
-        get_long_contigs_by_readpairs(g, rp_counts, ext_path)
-        seqs = [s for _, s in read_fasta(ext_path)]
-        if seqs:
-            g = graph_from_contigs(seqs, cfg.k0)
-            from .kmer.coverage import recount_coverage_from_batches
-            g = recount_coverage_from_batches(g, _genomic_batches(cfg))
-            check_graph(g, check_seq=False)
+        if nproc > 1:
+            # striped rp-count map, key-sum merged on rank 0
+            rp_local = get_read_pair_counts(cfg, g, rpath,
+                                            stripe=(pid, nproc))
+            os.makedirs(dist_dir, exist_ok=True)
+            np.savez(os.path.join(dist_dir, f"rp_rank{pid}.npz"),
+                     k=np.array([[a, b] for a, b in rp_local.keys()],
+                                np.int64).reshape(-1, 2),
+                     v=np.array(list(rp_local.values()), np.int64))
+            _dist_barrier("rp_counts")
+            rp_counts = {}
+            if pid == 0:
+                for r in range(nproc):
+                    z = np.load(os.path.join(dist_dir, f"rp_rank{r}.npz"))
+                    for (a, b), v in zip(z["k"], z["v"]):
+                        key = (int(a), int(b))
+                        rp_counts[key] = rp_counts.get(key, 0) + int(v)
+        else:
+            rp_counts = get_read_pair_counts(cfg, g, rpath)
+        if pid == 0:
+            ext_path = graph_path(out_dir, cfg.k0, "extend", "fasta")
+            get_long_contigs_by_readpairs(g, rp_counts, ext_path)
+            seqs = [s for _, s in read_fasta(ext_path)]
+            if seqs:
+                g = graph_from_contigs(seqs, cfg.k0)
+                from .kmer.coverage import recount_coverage_from_batches
+                g = recount_coverage_from_batches(g, _genomic_batches(cfg))
+                check_graph(g, check_seq=False)
+            if nproc > 1:
+                save_graph_info(g, out_dir, "extend_graph")
+        if nproc > 1:
+            _dist_barrier("extended")
+            if pid != 0:
+                g = asmg.load_graph(
+                    graph_path(out_dir, cfg.k0, "extend_graph"))
 
     set_log_stage("build_barcode")
-    g = construct_aux_info(cfg, g, rpath)
+    if nproc > 1:
+        from .barcode.builder import aux_tables_striped, merge_attach_tables
+        table, cands = aux_tables_striped(cfg, g, rpath, (pid, nproc))
+        os.makedirs(dist_dir, exist_ok=True)
+        np.savez(os.path.join(dist_dir, f"aux_rank{pid}.npz"),
+                 s=table[0], e=table[1], b=table[2], c=table[3],
+                 ck=np.array([[a, b] for a, b in cands.keys()],
+                             np.int64).reshape(-1, 2),
+                 cv=np.array(list(cands.values()), np.int64))
+        _dist_barrier("aux_tables")
+        if pid != 0:
+            # maps are done; scaffolding + bridging run on rank 0
+            set_log_stage("done")
+            return ""
+        from .parallel.sharded_aux import apply_aux_tables
+        tables, cands_all = [], {}
+        for r in range(nproc):
+            z = np.load(os.path.join(dist_dir, f"aux_rank{r}.npz"))
+            tables.append((z["s"], z["e"], z["b"], z["c"]))
+            for (a, b), v in zip(z["ck"], z["cv"]):
+                key = (int(a), int(b))
+                cands_all[key] = cands_all.get(key, 0) + int(v)
+        apply_aux_tables(g, merge_attach_tables(tables), cands_all)
+        log.info("aux info merged from %d ranks: %d candidate pairs",
+                 nproc, len(cands_all))
+    else:
+        g = construct_aux_info(cfg, g, rpath)
     asmg.save_graph(g, graph_path(out_dir, cfg.k0, "added_barcode"))
 
     set_log_stage("scaffolding")
