@@ -30,8 +30,8 @@ def _library(tmp):
     for pos in (15_000, 40_000):
         genome[pos : pos + 700] = rep
     r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
-        genome, molecule_len=12_000, n_molecules=1500,
-        reads_per_molecule=20, read_len=120, insert=300, seed=2,
+        genome, molecule_len=12_000, n_molecules=1000,
+        reads_per_molecule=16, read_len=120, insert=300, seed=2,
         error_rate=0.002)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
     f1, f2, fI = (os.path.join(tmp, n) for n in ["R1.fq", "R2.fq", "I1.fq"])
