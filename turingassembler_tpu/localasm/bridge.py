@@ -310,7 +310,24 @@ def _local_cache_path(cfg, g, e1, e2, out_dir):
                         f"graph_k_{cfg.lk}_local_lvl_1.bin")
 
 
-def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir):
+def prebuild_local_graphs_striped(cfg, g: AsmGraph, rpath: ReadPath,
+                                  scaffold_path_file: str, out_dir: str,
+                                  stripe) -> int:
+    """One rank's share of the per-gap local assemblies (multi-process
+    assembly3): gaps are independent and cached on the shared out_dir,
+    so rank r building gaps r mod n leaves the bridging loop on rank 0
+    with pure cache hits — outputs identical to the single-process run
+    (reference thread-pool driver src/build_bridge.c:898-903, scaled
+    out to processes).  Returns the number of gaps this rank built."""
+    paths = parse_scaffold_paths(scaffold_path_file)
+    bc_index = load_barcode_index(rpath.idx_path)
+    cov = g.edge_cov()
+    return _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov,
+                                  out_dir, stripe=stripe)
+
+
+def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
+                           stripe=None):
     """Task-parallel per-gap local assemblies (reference thread-pool
     driver build_bridge_iterator xT, src/build_bridge.c:898-903,952).
     Each gap is independent; cfg.n_threads (-t) bounds the pool.  The
@@ -325,8 +342,14 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir):
             cache = _local_cache_path(cfg, g, e1, e2, out_dir)
             if cache not in jobs and not os.path.exists(cache):
                 jobs[cache] = (e1, e2)
-    if len(jobs) < 2 or cfg.n_threads < 2:
-        return
+    if stripe is not None:
+        pid, n = stripe
+        jobs = {c: j for i, (c, j) in enumerate(sorted(jobs.items()))
+                if i % n == pid}
+    if (len(jobs) < 2 or cfg.n_threads < 2) and stripe is None:
+        return 0
+    if not jobs:
+        return 0
 
     # batched counting: every gap's canonical (k+1)-mers go through ONE
     # sort pass keyed by a gap-id column (count_kedges_multi, SURVEY
@@ -351,8 +374,9 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir):
             asmg.save_graph(lg, cache)
 
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=cfg.n_threads) as ex:
+    with ThreadPoolExecutor(max_workers=max(cfg.n_threads, 1)) as ex:
         list(ex.map(build_one, range(len(items))))
+    return len(items)
 
 
 def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):

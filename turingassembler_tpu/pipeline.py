@@ -350,30 +350,49 @@ def assembly3(cfg: Config, extend: bool = True) -> str:
                              np.int64).reshape(-1, 2),
                  cv=np.array(list(cands.values()), np.int64))
         _dist_barrier("aux_tables")
-        if pid != 0:
-            # maps are done; scaffolding + bridging run on rank 0
-            set_log_stage("done")
-            return ""
-        from .parallel.sharded_aux import apply_aux_tables
-        tables, cands_all = [], {}
-        for r in range(nproc):
-            z = np.load(os.path.join(dist_dir, f"aux_rank{r}.npz"))
-            tables.append((z["s"], z["e"], z["b"], z["c"]))
-            for (a, b), v in zip(z["ck"], z["cv"]):
-                key = (int(a), int(b))
-                cands_all[key] = cands_all.get(key, 0) + int(v)
-        apply_aux_tables(g, merge_attach_tables(tables), cands_all)
-        log.info("aux info merged from %d ranks: %d candidate pairs",
-                 nproc, len(cands_all))
+        if pid == 0:
+            from .parallel.sharded_aux import apply_aux_tables
+            tables, cands_all = [], {}
+            for r in range(nproc):
+                z = np.load(os.path.join(dist_dir, f"aux_rank{r}.npz"))
+                tables.append((z["s"], z["e"], z["b"], z["c"]))
+                for (a, b), v in zip(z["ck"], z["cv"]):
+                    key = (int(a), int(b))
+                    cands_all[key] = cands_all.get(key, 0) + int(v)
+            apply_aux_tables(g, merge_attach_tables(tables), cands_all)
+            log.info("aux info merged from %d ranks: %d candidate pairs",
+                     nproc, len(cands_all))
     else:
         g = construct_aux_info(cfg, g, rpath)
-    asmg.save_graph(g, graph_path(out_dir, cfg.k0, "added_barcode"))
+    if pid == 0:
+        asmg.save_graph(g, graph_path(out_dir, cfg.k0, "added_barcode"))
 
     set_log_stage("scaffolding")
-    scaf_path = scaffold_stage(cfg, g, out_dir)
-    log.info("scaffold paths: %s", scaf_path)
+    if pid == 0:
+        scaf_path = scaffold_stage(cfg, g, out_dir)
+        log.info("scaffold paths: %s", scaf_path)
+    else:
+        scaf_path = os.path.join(out_dir, "local_assembly_scaffold_path.txt")
+    if nproc > 1:
+        _dist_barrier("scaffolded")
 
     set_log_stage("build_bridge")
+    if nproc > 1:
+        # every rank builds its stripe of the per-gap local assemblies
+        # into the shared cache dirs; rank 0's bridging loop then runs
+        # on cache hits only
+        from .localasm.bridge import prebuild_local_graphs_striped
+        if pid != 0:
+            # non-zero ranks need the aux-complete graph for gap mapping
+            g = asmg.load_graph(graph_path(out_dir, cfg.k0,
+                                           "added_barcode"))
+        n_built = prebuild_local_graphs_striped(cfg, g, rpath, scaf_path,
+                                                out_dir, (pid, nproc))
+        log.info("rank %d built %d local gap graphs", pid, n_built)
+        _dist_barrier("gaps_prebuilt")
+        if pid != 0:
+            set_log_stage("done")
+            return ""
     final = build_bridge(cfg, g, rpath, scaf_path)
     log.info("final assembly: %s", final)
     set_log_stage("done")
