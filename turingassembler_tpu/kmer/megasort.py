@@ -612,6 +612,9 @@ def count_kedges_megasort(
         out_cap_log2 = int(os.environ.get("TA_SORT_OUT_LOG2", 22))
     if max_lanes is None:
         max_lanes = int(os.environ.get("TA_SORT_MAX_LANES", 64 << 20))
+    # early head window, same rationale as count_reads_device: start the
+    # first sort while the tunnel is still streaming the library
+    first_lanes = int(os.environ.get("TA_FLUSH_FIRST_LANES", 24 << 20))
     out_cap = 1 << out_cap_log2
 
     # out-of-core knobs (the -sm posture, reference src/main.c:234-236):
@@ -770,7 +773,8 @@ def count_kedges_megasort(
                 cols_acc[l].append(c)
             n_valid = n_valid + nv
             lanes += cols[0].shape[0]
-            if lanes >= max_lanes:
+            if lanes >= (first_lanes if table is None and not host_runs
+                         else max_lanes):
                 flush()
     flush()
     if host_runs:
