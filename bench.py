@@ -162,8 +162,12 @@ def main():
     # on-device gapless verification, host DP only on remainder lanes
     # (the reference's read_mapper with asm_reg2aln rescoring,
     # src/barcode_builder.c:737-912)
+    # ALWAYS attempt at least one map pass even when the compile/tunnel
+    # weather burned the budget: dropping the stage silently changes the
+    # headline metric's scope between rounds (the count+build sub-metric
+    # stays comparable either way, but the wide metric should too)
     t_map = None
-    if with_map and time.time() - t_start < budget:
+    if with_map:
         try:
             from turingassembler_tpu.mapper.minimizers import (
                 EdgeMinimizerIndex, map_reads)
@@ -188,7 +192,7 @@ def main():
                     f"device-resident reads)")
                 if t_map is None or dt < t_map:
                     t_map = dt
-                if time.time() - t_start > budget:
+                if time.time() - t_start > budget + 120:
                     break
         except Exception as ex:   # never let the map stage kill the JSON
             log(f"map stage failed: {ex}")
