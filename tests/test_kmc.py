@@ -94,3 +94,40 @@ def test_kmc_reference_reader_semantics(tmp_path):
     for (chars, cnt), row, c in zip(got, codes, counts):
         assert chars == list(row), (chars, list(row))
         assert cnt == c
+
+
+def test_kmc2_variant_roundtrip(tmp_path):
+    """kmer_type 0x200 (KMC2 layout): the reference reader's other
+    branch (KMC_read_prefix, src/KMC_reader.c:50-74).  Writing it and
+    reading it back must agree with the legacy kmer_type-0 parse of the
+    same table."""
+    import numpy as np
+
+    from turingassembler_tpu.io.kmc import (read_kmc_database,
+                                            write_kmc_database)
+
+    rng = np.random.default_rng(3)
+    k = 21
+    n = 500
+    codes = rng.integers(0, 4, (n, k)).astype(np.uint8)
+    v = codes.view([("", np.uint8)] * k).ravel()
+    codes = codes[np.argsort(v, kind="stable")]
+    # dedupe rows (the DB is a set)
+    keep = np.ones(n, bool)
+    keep[1:] = (codes[1:] != codes[:-1]).any(axis=1)
+    codes = codes[keep]
+    counts = rng.integers(1, 200, len(codes)).astype(np.int64)
+
+    p0 = str(tmp_path / "legacy")
+    p2 = str(tmp_path / "kmc2")
+    write_kmc_database(codes, counts, p0)
+    write_kmc_database(codes, counts, p2, variant=0x200)
+    c0, n0, i0 = read_kmc_database(p0)
+    c2, n2, i2 = read_kmc_database(p2)
+    assert np.array_equal(c0, c2)
+    assert np.array_equal(n0, n2)
+    assert np.array_equal(c2, codes)
+    assert np.array_equal(n2, counts)
+    assert i2["kmer_type"] == 0x200
+    assert i2["kmer_length"] == i0["kmer_length"] == k
+    assert i2["total_kmers"] == len(codes)

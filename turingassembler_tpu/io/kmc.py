@@ -56,9 +56,16 @@ def _default_lut_len(k: int) -> int:
 
 def write_kmc_database(codes: np.ndarray, counts: np.ndarray, path_prefix: str,
                        lut_prefix_length: int | None = None,
-                       min_count: int = 1, max_count: int = 255) -> None:
+                       min_count: int = 1, max_count: int = 255,
+                       variant: int = 0) -> None:
     """codes: (n, k) uint8 base codes sorted lexicographically;
-    counts: (n,) ints.  Writes path_prefix + '.kmc_pre'/'.kmc_suf'."""
+    counts: (n,) ints.  Writes path_prefix + '.kmc_pre'/'.kmc_suf'.
+
+    variant 0 writes the legacy kmer_type-0 layout; variant 0x200 writes
+    the KMC2 layout the reference reader's other branch parses
+    (KMC_read_prefix, src/KMC_reader.c:50-74: packed kmc_header_t at
+    end-header_offset-8, per-prefix LUT + total+1 sentinel, signature
+    map).  The .kmc_suf record format is identical in both."""
     n, k = codes.shape if codes.ndim == 2 else (0, int(codes.shape[-1]))
     if lut_prefix_length is None:
         lut_prefix_length = _default_lut_len(k)
@@ -95,6 +102,32 @@ def write_kmc_database(codes: np.ndarray, counts: np.ndarray, path_prefix: str,
     recs[:, :suffix_size] = sbytes
     recs[:, suffix_size:] = counts.astype("<u4").view(np.uint8).reshape(n, 4)
 
+    if variant == 0x200:
+        import struct as _st
+        sig_len = 5
+        sig_entries = (1 << (2 * sig_len)) + 1
+        hdr = _st.pack(
+            "<7IQB3s6II",
+            k, 0, 4, p, sig_len, min_count, max_count,
+            n, 1, b"\x00\x00\x00", 0, 0, 0, 0, 0, 0, 0x200)
+        # header_offset: reader seeks header at END-header_offset-8;
+        # tail = header(68) + kmer_type(4) + header_offset(4) + marker(4)
+        header_offset = 68 + 4
+        with open(path_prefix + ".kmc_pre", "wb") as fp:
+            fp.write(_MARKER_PRE)
+            fp.write(lut.astype("<u8").tobytes())
+            fp.write(_st.pack("<Q", n + 1))          # scan sentinel
+            fp.write(np.zeros(sig_entries, "<u4").tobytes())
+            fp.write(hdr)
+            fp.write(_st.pack("<i", 0x200))
+            fp.write(_st.pack("<i", header_offset))
+            fp.write(_MARKER_PRE)
+        with open(path_prefix + ".kmc_suf", "wb") as fp:
+            fp.write(_MARKER_SUF)
+            fp.write(recs.tobytes())
+            fp.write(_MARKER_SUF)
+        return
+
     header = np.array([
         np.uint64(k) | (np.uint64(0) << np.uint64(32)),
         np.uint64(4) | (np.uint64(p) << np.uint64(32)),
@@ -127,8 +160,10 @@ def read_kmc_database(path_prefix: str) -> Tuple[np.ndarray, np.ndarray, dict]:
         raise ValueError("bad .kmc_pre markers")
     header_offset, = struct.unpack("<i", raw[-8:-4])
     kmer_type, = struct.unpack("<i", raw[-12:-8])
+    if kmer_type == 0x200:
+        return _read_kmc2(raw, path_prefix, header_offset)
     if kmer_type != 0:
-        raise NotImplementedError(f"kmer_type 0x{kmer_type:x} not supported")
+        raise ValueError(f"unknown KMC kmer_type 0x{kmer_type:x}")
     body = np.frombuffer(raw[4:-12], "<u8")
     header_index = len(body) - header_offset // 8
     hdr = body[header_index:]
@@ -191,3 +226,72 @@ def load_kedges_from_kmc(path_prefix: str):
     k1 = info["kmer_length"]
     kedges = lb.np_pack_bases(codes, k1)
     return kedges, counts, k1 - 1
+
+
+def _decode_suffix_records(path_prefix: str, prefixes: np.ndarray,
+                           k_len: int, p: int, counter_size: int,
+                           total: int):
+    """Shared .kmc_suf record decode (identical for both pre-file
+    layouts; reference KMC_worker_multi, src/KMC_reader.c:204-256)."""
+    suffix_size = (k_len - p) // 4
+    rec_size = suffix_size + counter_size
+    with open(path_prefix + ".kmc_suf", "rb") as fp:
+        sraw = fp.read()
+    if sraw[:4] != _MARKER_SUF:
+        raise ValueError("bad .kmc_suf marker")
+    recs = np.frombuffer(sraw[4 : 4 + total * rec_size], np.uint8)
+    recs = recs.reshape(total, rec_size)
+    codes = np.empty((total, k_len), np.uint8)
+    for j in range(p):
+        codes[:, j] = (prefixes >> (2 * (p - 1 - j))) & 3
+    sb = recs[:, :suffix_size]
+    for j in range(suffix_size):
+        b = sb[:, j]
+        base = p + 4 * j
+        codes[:, base] = (b >> 6) & 3
+        codes[:, base + 1] = (b >> 4) & 3
+        codes[:, base + 2] = (b >> 2) & 3
+        codes[:, base + 3] = b & 3
+    if counter_size == 4:
+        counts = recs[:, suffix_size:].copy().view("<u4").reshape(total)
+    else:
+        counts = np.zeros(total, np.uint32)
+        for j in range(counter_size):
+            counts |= recs[:, suffix_size + j].astype(np.uint32) << (8 * j)
+    return codes, counts.astype(np.int64)
+
+
+def _read_kmc2(raw: bytes, path_prefix: str, header_offset: int):
+    """kmer_type 0x200 (KMC2) parse, mirroring the reference branch
+    (KMC_read_prefix, src/KMC_reader.c:50-74): packed kmc_header_t at
+    end-header_offset-8; LUT area sized from the file minus signature
+    map and header; the record walk stops at the total+1 sentinel and
+    masks each LUT index with the prefix mask."""
+    hstart = len(raw) - header_offset - 8
+    hb = raw[hstart : hstart + 68]
+    (k_len, mode, counter_size, p, sig_len, min_count,
+     max_count) = struct.unpack("<7I", hb[:28])
+    total, = struct.unpack("<Q", hb[28:36])
+    both_strands = hb[36] != 0
+    sig_bytes = (((1 << (2 * sig_len)) + 1)) * 4
+    size = len(raw) - 8 - 4                       # C: ftell-4-4 then -=4
+    lut_area = size - sig_bytes - header_offset - 8
+    n_entries = lut_area // 8                      # e[0..n_lut-1]
+    buf = np.frombuffer(raw[4 : 4 + lut_area + 8], "<u8").astype(np.int64)
+    # scan stop: first i with buf[i+1] == total + 1 (the sentinel the
+    # reference appends / our writer stores right after the LUT)
+    stops = np.flatnonzero(buf[1:] == total + 1)
+    hi = int(stops[0]) if len(stops) else n_entries - 1
+    lut = buf[: hi + 1]
+    run_len = np.diff(lut)
+    prefix_mask = (1 << (2 * p)) - 1
+    prefixes = np.repeat(np.arange(hi, dtype=np.int64) & prefix_mask,
+                         run_len)
+    codes, counts = _decode_suffix_records(path_prefix, prefixes, k_len, p,
+                                           counter_size, total)
+    info = dict(kmer_length=k_len, mode=mode, counter_size=counter_size,
+                lut_prefix_length=p, min_count=min_count,
+                max_count=max_count, total_kmers=total,
+                both_strands=both_strands, signature_length=sig_len,
+                kmer_type=0x200)
+    return codes, counts, info
