@@ -184,7 +184,7 @@ def main():
             for i in range(3):
                 t0 = time.time()
                 e, _, _ = map_reads(idx, reads, lengths, graph=g_asm,
-                                    shipped=recs_asm)
+                                    shipped=recs_asm, with_hits=False)
                 dt = time.time() - t0
                 log(f"map pass {i}: {n_reads} reads in {dt:.2f}s = "
                     f"{n_reads/dt:,.0f} reads/s "

@@ -324,8 +324,10 @@ def construct_aux_info(cfg: Config, g: AsmGraph, rpath: ReadPath,
     for b1, l1, b2, l2, bcs in _iter_sorted_pairs(rpath, stripe=stripe):
         # graph=g turns on DP verification of every voted hit
         # (reference asm_reg2aln rescore, barcode_builder.c:448-563)
-        e1, h1, p1 = map_reads(index, b1, l1, graph=g, mesh=mesh)
-        e2, h2, p2 = map_reads(index, b2, l2, graph=g, mesh=mesh)
+        e1, _, p1 = map_reads(index, b1, l1, graph=g, mesh=mesh,
+                              with_hits=False)
+        e2, _, p2 = map_reads(index, b2, l2, graph=g, mesh=mesh,
+                              with_hits=False)
         n_pairs += len(b1)
         n_mapped += int((e1 >= 0).sum() + (e2 >= 0).sum())
         # every hit attaches on BOTH strand records — the reference's
@@ -368,9 +370,9 @@ def get_read_pair_counts(cfg: Config, g: AsmGraph, rpath: ReadPath,
         ms1 = np.maximum(l1.astype(np.int64) - RP_FULL_LEN_SLACK, 50)
         ms2 = np.maximum(l2.astype(np.int64) - RP_FULL_LEN_SLACK, 50)
         e1, _, _ = map_reads(index, b1, l1, graph=g, mesh=mesh,
-                             min_score=ms1)
+                             min_score=ms1, with_hits=False)
         e2, _, _ = map_reads(index, b2, l2, graph=g, mesh=mesh,
-                             min_score=ms2)
+                             min_score=ms2, with_hits=False)
         ok = (e1 >= 0) & (e2 >= 0)
         # BOTH directed orders: the reference's 2x2 strand-record combos
         # reduce to exactly [v1][v2] += 1 and [v2][v1] += 1 in the

@@ -838,9 +838,14 @@ def _dp_verify_rest(seq_data, seq_off, edges, starts, bases, lengths,
 
 def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
               lengths: np.ndarray, batch_size: int = 65536,
-              graph=None, min_score=None, mesh=None, shipped=None):
+              graph=None, min_score=None, mesh=None, shipped=None,
+              with_hits: bool = True):
     """Map a read matrix; returns (edge (N,) int32 [-1 unmapped],
     n_hits (N,), est_start (N,)).
+
+    with_hits=False skips the n_hits D2H pull (returned zeros) — the
+    aux-info/rp consumers never read it, and every pulled column costs
+    4 bytes/read over the 4-450 MB/s tunnel.
 
     graph: when given (anything with seq_data + seq_off pools), every
     voted hit is DP-verified with rescore_hits and rejects are demoted
@@ -994,7 +999,8 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
             pending.append((i, min(batch_size, N - i), out))
     for i, m, out in pending:
         edges[i : i + m] = np.asarray(out[0])[:m]
-        hits[i : i + m] = np.asarray(out[1])[:m]
+        if with_hits:
+            hits[i : i + m] = np.asarray(out[1])[:m]
         starts[i : i + m] = np.asarray(out[2])[:m]
         if verified:
             bound[i : i + m] = np.asarray(out[3])[:m]

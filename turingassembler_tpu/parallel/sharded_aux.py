@@ -106,8 +106,8 @@ def aux_tables_local(g, index, b1, l1, b2, l2, bcs, mesh=None
         e1, p1 = _map_shard_verified(index, g, gb1, gl1, b1, l1, mesh)
         e2, p2 = _map_shard_verified(index, g, gb2, gl2, b2, l2, mesh)
     else:
-        e1, _, p1 = map_reads(index, b1, l1, graph=g)
-        e2, _, p2 = map_reads(index, b2, l2, graph=g)
+        e1, _, p1 = map_reads(index, b1, l1, graph=g, with_hits=False)
+        e2, _, p2 = map_reads(index, b2, l2, graph=g, with_hits=False)
     e1m, p1m = _mirror_hits(g, lens, e1, p1, l1)
     e2m, p2m = _mirror_hits(g, lens, e2, p2, l2)
     tables = [attach_table(lens, e, p, bcs)
