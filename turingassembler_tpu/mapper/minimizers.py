@@ -891,7 +891,6 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
     if verified:
         sd, sod = _device_pool(graph.seq_data, graph.seq_off)
         mt, mm = int(dp.SCORING_BWA[0]), int(dp.SCORING_BWA[1])
-    bound = np.zeros(N, np.int64)
     fast = np.zeros(N, bool)
     # dispatch every batch before fetching any result: jax dispatch is
     # async, so the device pipelines batches back-to-back while the host
@@ -1003,7 +1002,8 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
             hits[i : i + m] = np.asarray(out[1])[:m]
         starts[i : i + m] = np.asarray(out[2])[:m]
         if verified:
-            bound[i : i + m] = np.asarray(out[3])[:m]
+            # out[3] (the gapless bound) stays on device — acceptance
+            # is the `fast` flag; pulling it cost 4 bytes/read of tunnel
             fast[i : i + m] = np.asarray(out[4])[:m]
     if verified:
         # gapless fast path decided on device; full DP only on the rest

@@ -116,7 +116,6 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
         sd = jax.device_put(_pack_pool_nibbles(graph.seq_data), rep)
         sod = jax.device_put(
             np.ascontiguousarray(graph.seq_off, np.int32), rep)
-        bound = np.zeros(N, np.int64)
         fast = np.zeros(N, bool)
     shb = NamedSharding(mesh, P(axis, None))
     shl = NamedSharding(mesh, P(axis))
@@ -151,7 +150,6 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
         hits[i : i + m] = np.asarray(out[1])[:m]
         starts[i : i + m] = np.asarray(out[2])[:m]
         if verified:
-            bound[i : i + m] = np.asarray(out[3])[:m]
             fast[i : i + m] = np.asarray(out[4])[:m]
     if verified:
         accept = fast & (edges >= 0)
