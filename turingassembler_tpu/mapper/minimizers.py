@@ -879,7 +879,7 @@ def map_reads(index: EdgeMinimizerIndex, bases: np.ndarray,
         from ..parallel.sharded_map import map_reads_sharded
         return map_reads_sharded(
             index, bases, lengths, mesh, batch_size=batch_size,
-            graph=graph, min_score=min_score)
+            graph=graph, min_score=min_score, with_hits=with_hits)
 
     from ..ops import dp
     if min_score is None:

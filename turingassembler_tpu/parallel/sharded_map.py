@@ -81,7 +81,7 @@ def sharded_map_step_verified(bases, lengths, thr, hkeys, vals, salt,
 def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
                       lengths: np.ndarray, mesh: Mesh,
                       batch_size: int = 8192, axis: str = "shard",
-                      graph=None, min_score=None):
+                      graph=None, min_score=None, with_hits: bool = True):
     """Mesh-parallel map_reads.  When `graph` is given, every voted hit
     is verified: the gapless fast path runs ON DEVICE inside the
     sharded dispatch and only the remainder lanes go through the host
@@ -147,7 +147,8 @@ def map_reads_sharded(index: EdgeMinimizerIndex, bases: np.ndarray,
     for i, out in pending:
         m = min(batch_size, N - i)
         edges[i : i + m] = np.asarray(out[0])[:m]
-        hits[i : i + m] = np.asarray(out[1])[:m]
+        if with_hits:
+            hits[i : i + m] = np.asarray(out[1])[:m]
         starts[i : i + m] = np.asarray(out[2])[:m]
         if verified:
             fast[i : i + m] = np.asarray(out[4])[:m]
