@@ -267,3 +267,35 @@ def test_device_build_large_circular():
                               circular=True)
     check_graph(g_dev)
     _graphs_isomorphic(g_np, g_dev)
+
+
+def test_clean_chunk_info_packed_equivalence():
+    """The bitmask-based clean check must agree with the (B, L) bool
+    form on every chunk class: clean, N-laden, ragged lengths, empty,
+    non-multiple-of-8 read lengths."""
+    import numpy as np
+
+    from turingassembler_tpu.kmer.count import host_pack_reads
+    from turingassembler_tpu.kmer.megasort import (_clean_chunk_info,
+                                                   _clean_chunk_info_packed)
+
+    rng = np.random.default_rng(2)
+    B, L = 257, 152
+    cases = []
+    rb = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    cases.append(("clean150", rb.copy(), np.full(B, 150, np.int32)))
+    cases.append(("clean149", rb.copy(), np.full(B, 149, np.int32)))  # rem!=0
+    rbN = rb.copy(); rbN[17, 31] = 4
+    cases.append(("one N", rbN, np.full(B, 150, np.int32)))
+    rbN2 = rb.copy(); rbN2[0, 149] = 255
+    cases.append(("N at boundary", rbN2, np.full(B, 150, np.int32)))
+    lv = np.full(B, 150, np.int32); lv[200] = 140
+    cases.append(("ragged", rb.copy(), lv))
+    rbT = rb.copy(); rbT[5, 150] = 4   # N beyond read length: still clean
+    cases.append(("pad N", rbT, np.full(B, 150, np.int32)))
+    cases.append(("empty", np.zeros((0, L), np.uint8), np.zeros(0, np.int32)))
+    for name, mat, lens in cases:
+        ref = _clean_chunk_info(mat, lens)
+        _, nm = host_pack_reads(np.ascontiguousarray(mat))
+        got = _clean_chunk_info_packed(nm, lens)
+        assert ref == got, (name, ref, got)
