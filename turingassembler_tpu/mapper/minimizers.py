@@ -228,6 +228,38 @@ def _cuckoo_probe(hkeys, vals, salt, queries):
     return edge_sing, v[:, 1].astype(jnp.int32), found
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+def _compact_minimizer_rows(mat, elen, k: int, w: int, cap: int):
+    """minimizer_mask + ON-DEVICE compaction of the marked positions
+    (the sort-based compaction pattern from kmer/megasort._sort_count):
+    the index build used to pull the FULL (B, P, NL) kmer tensor per
+    segment batch (~9 MB) to np.nonzero on host — ~5x the bytes of the
+    ~2/(w+1)-dense minimizer rows, on a 4-45 MB/s tunnel (round 4:
+    index build was 3-5 s of the pipeline's aux stage).
+
+    Returns (rows (cap, NL) uint32, jrow (cap,) int32 segment row,
+    ppos (cap,) int32 in-segment position, n ()); n > cap means the cap
+    overflowed and the caller must retry wider."""
+    km, _h, is_mm = minimizer_mask(mat, elen, k, w)
+    B, P, nl = km.shape
+    M = B * P
+    flat = is_mm.reshape(-1)
+    idx = jnp.arange(M, dtype=jnp.uint32)
+    key = jnp.where(flat, idx, jnp.uint32(0x80000000) | idx)
+    (s2,) = jax.lax.sort((key,), num_keys=1)
+    n = jnp.sum(flat.astype(jnp.int32))
+    oc = min(cap, M)
+    pos = (s2[:oc] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    live = jnp.arange(oc, dtype=jnp.int32) < n
+    posc = jnp.where(live, pos, 0)
+    rows = jnp.take(km.reshape(M, nl), posc, axis=0)
+    rows = jnp.where(live[:, None], rows, jnp.uint32(0xFFFFFFFF))
+    jrow = jnp.where(live, posc // P, 0)
+    ppos = jnp.where(live, posc % P, 0)
+    return rows, jrow, ppos, n
+
+
+
 @dataclass
 class EdgeMinimizerIndex:
     """Sorted minimizer table over all live edges of a graph."""
@@ -305,14 +337,22 @@ class EdgeMinimizerIndex:
                 part = seq[s : s + Wd]
                 mat[j, : len(part)] = part
                 elen[j] = len(part)
-            km, h, is_mm = minimizer_mask(mat, elen, k, w)
-            is_mm = np.asarray(is_mm)
-            jj, pp = np.nonzero(is_mm)
-            if len(jj) == 0:
+            cap = 1 << 18
+            while True:
+                r_d, j_d, p_d, n_d = _compact_minimizer_rows(
+                    mat, elen, k, w, cap)
+                n = int(n_d)
+                if n <= cap:
+                    break
+                cap = 1 << max(int(n - 1).bit_length(), 18)
+            if n == 0:
                 continue
-            km = np.asarray(km)
-            rows = np.empty((len(jj), NL + 2), np.uint32)
-            rows[:, :NL] = km[jj, pp]
+            # slice pulls: only the live rows cross the tunnel
+            kmr = np.asarray(r_d[:n])
+            jj = np.asarray(j_d[:n])
+            pp = np.asarray(p_d[:n])
+            rows = np.empty((n, NL + 2), np.uint32)
+            rows[:, :NL] = kmr
             rows[:, NL] = np.asarray(ce, np.uint32)[jj]
             rows[:, NL + 1] = np.asarray(csta, np.uint32)[jj] + pp
             all_rows.append(rows)
