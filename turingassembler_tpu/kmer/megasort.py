@@ -381,9 +381,11 @@ def count_reads_device(
     the reads then ship exactly once per pipeline, where the reference
     re-streams the FASTQ from disk per stage (src/process.c:585-701).
 
-    Pipelined: a background thread ships chunks over the tunnel
-    sequentially (puts serialize host-side; measured: 1 thread moves the
-    same bytes as 8) while the main thread dispatches extraction and,
+    Pipelined: background threads pack+ship chunks over the tunnel (the
+    relay serializes the network writes themselves — 8 threads move the
+    same bytes as 1 — but 2 threads let chunk i+1's host-side pack
+    overlap chunk i's wire) while the main thread dispatches extraction
+    and,
     every `flush_lanes` window lanes, a sort+RLE flush whose unique run
     is LSM-merged into the running table — so nearly all device sort
     work hides under the transfer wall.  Nothing syncs until the end:
