@@ -6,8 +6,9 @@ counting.  Measured on the v5e rig (round 2): `lax.sort` streams
 ~100-130M accesses/s, and the host link runs ~450 MB/s when driven by
 2+ concurrent transfer threads — so the fastest exact counter is:
 
-  1. ship raw base matrices H2D with a small thread pool (no host
-     packing: the link is faster than numpy's bit-packing),
+  1. ship bit-packed read chunks H2D (2 bits/base for clean chunks —
+     the tunnel swings 4-450 MB/s between sessions, so wire bytes are
+     the wall on slow days; TA_SHIP=raw opts out on fast links),
   2. per chunk, one fused dispatch extracts every canonical (k+1)-mer
      window (ops/kmers.py) into flat limb columns,
   3. ONE device sort of all lanes by the limb columns
@@ -110,10 +111,10 @@ def _extract_sort_count_clean(packed_tuple, L: int, read_len: int, k1: int,
                               out_cap: int):
     """Fused flush for clean chunks: extract every chunk, concat, sort,
     RLE — ONE dispatch per flush window instead of one per chunk plus
-    one per sort.  Each dispatch costs a fixed multi-ms relay round
-    trip on this rig (NOTES_ROUND1), so the split form paid ~5x the
-    dispatch tax per flush; measured round 4: compute floor 2.02 s ->
-    1.3 s on the 1M-read workload."""
+    one per sort.  Measured NEUTRAL on chip (round 4: dispatches are
+    async and cost nothing observable; eager per-chunk extraction also
+    overlaps the tunnel better), so this stays behind TA_FUSE_FLUSH=1
+    as a measured dead end — do not re-derive it."""
     cols_acc = []
     n_valid = jnp.zeros((), jnp.int32)
     for p in packed_tuple:
