@@ -326,7 +326,12 @@ class EdgeMinimizerIndex:
             for i in range(-(-n_pos // SEG)):
                 segs_e.append(int(e))
                 segs_s.append(i * SEG)
-        all_rows = []
+        # dispatch every segment batch before syncing anything: each
+        # int(n) gate costs a full relay round trip, and per-batch syncs
+        # serialized the build (~3.8 s for a 4 Mbp pool; the map stage
+        # pipelines its batches the same way)
+        cap = 1 << 18
+        pending = []
         for i in range(0, len(segs_e), B):
             ce = segs_e[i : i + B]
             csta = segs_s[i : i + B]
@@ -337,16 +342,21 @@ class EdgeMinimizerIndex:
                 part = seq[s : s + Wd]
                 mat[j, : len(part)] = part
                 elen[j] = len(part)
-            cap = 1 << 18
-            while True:
-                r_d, j_d, p_d, n_d = _compact_minimizer_rows(
-                    mat, elen, k, w, cap)
-                n = int(n_d)
-                if n <= cap:
-                    break
-                cap = 1 << max(int(n - 1).bit_length(), 18)
+            out = _compact_minimizer_rows(mat, elen, k, w, cap)
+            pending.append((ce, csta, mat, elen, out))
+        if pending:
+            ns = np.asarray(jnp.stack([o[3] for (_, _, _, _, o)
+                                       in pending]))   # ONE sync
+        all_rows = []
+        for bi, (ce, csta, mat, elen, out) in enumerate(pending):
+            n = int(ns[bi])
+            if n > cap:   # rare: retry this batch alone, wider
+                bcap = 1 << max(int(n - 1).bit_length(), 18)
+                out = _compact_minimizer_rows(mat, elen, k, w, bcap)
+                n = int(out[3])
             if n == 0:
                 continue
+            r_d, j_d, p_d, _ = out
             # slice pulls: only the live rows cross the tunnel
             kmr = np.asarray(r_d[:n])
             jj = np.asarray(j_d[:n])
