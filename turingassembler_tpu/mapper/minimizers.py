@@ -237,9 +237,11 @@ def _compact_minimizer_rows(mat, elen, k: int, w: int, cap: int):
     ~2/(w+1)-dense minimizer rows, on a 4-45 MB/s tunnel (round 4:
     index build was 3-5 s of the pipeline's aux stage).
 
-    Returns (rows (cap, NL) uint32, jrow (cap,) int32 segment row,
-    ppos (cap,) int32 in-segment position, n ()); n > cap means the cap
-    overflowed and the caller must retry wider."""
+    Returns (rows (cap, NL+2) uint32 — the key limbs then the segment
+    row then the in-segment position, ONE array so the caller pays one
+    slice pull per batch instead of three ~100 ms relay round trips —
+    and n ()); n > cap means the cap overflowed and the caller must
+    retry wider."""
     km, _h, is_mm = minimizer_mask(mat, elen, k, w)
     B, P, nl = km.shape
     M = B * P
@@ -254,9 +256,11 @@ def _compact_minimizer_rows(mat, elen, k: int, w: int, cap: int):
     posc = jnp.where(live, pos, 0)
     rows = jnp.take(km.reshape(M, nl), posc, axis=0)
     rows = jnp.where(live[:, None], rows, jnp.uint32(0xFFFFFFFF))
-    jrow = jnp.where(live, posc // P, 0)
-    ppos = jnp.where(live, posc % P, 0)
-    return rows, jrow, ppos, n
+    jrow = jnp.where(live, posc // P, 0).astype(jnp.uint32)
+    ppos = jnp.where(live, posc % P, 0).astype(jnp.uint32)
+    packed = jnp.concatenate(
+        [rows, jrow[:, None], ppos[:, None]], axis=1)
+    return packed, n
 
 
 
@@ -345,27 +349,34 @@ class EdgeMinimizerIndex:
             out = _compact_minimizer_rows(mat, elen, k, w, cap)
             pending.append((ce, csta, mat, elen, out))
         if pending:
-            ns = np.asarray(jnp.stack([o[3] for (_, _, _, _, o)
+            ns = np.asarray(jnp.stack([o[1] for (_, _, _, _, o)
                                        in pending]))   # ONE sync
         all_rows = []
-        for bi, (ce, csta, mat, elen, out) in enumerate(pending):
+
+        def _pull(bi):
+            ce, csta, mat, elen, out = pending[bi]
             n = int(ns[bi])
             if n > cap:   # rare: retry this batch alone, wider
                 bcap = 1 << max(int(n - 1).bit_length(), 18)
                 out = _compact_minimizer_rows(mat, elen, k, w, bcap)
-                n = int(out[3])
+                n = int(out[1])
             if n == 0:
-                continue
-            r_d, j_d, p_d, _ = out
-            # slice pulls: only the live rows cross the tunnel
-            kmr = np.asarray(r_d[:n])
-            jj = np.asarray(j_d[:n])
-            pp = np.asarray(p_d[:n])
+                return None
+            # one slice pull per batch: only the live rows cross
+            packed = np.asarray(out[0][:n])
             rows = np.empty((n, NL + 2), np.uint32)
-            rows[:, :NL] = kmr
+            rows[:, :NL] = packed[:, :NL]
+            jj = packed[:, NL].astype(np.int64)
             rows[:, NL] = np.asarray(ce, np.uint32)[jj]
-            rows[:, NL + 1] = np.asarray(csta, np.uint32)[jj] + pp
-            all_rows.append(rows)
+            rows[:, NL + 1] = np.asarray(csta, np.uint32)[jj] \
+                + packed[:, NL + 1]
+            return rows
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(4) as _ex:
+            for rows in _ex.map(_pull, range(len(pending))):
+                if rows is not None:
+                    all_rows.append(rows)
         if not all_rows:
             z = np.zeros((0, NL), np.uint32)
             return cls(z, np.zeros(0, np.int32), np.zeros(0, np.int32),
