@@ -372,11 +372,13 @@ class EdgeMinimizerIndex:
                 + packed[:, NL + 1]
             return rows
 
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(4) as _ex:
-            for rows in _ex.map(_pull, range(len(pending))):
-                if rows is not None:
-                    all_rows.append(rows)
+        # serial pulls: the relay serializes same-direction transfers,
+        # and concurrent np.asarray pulls measured 3x SLOWER (11.7 s vs
+        # ~4 s) — round-4 A/B
+        for bi in range(len(pending)):
+            rows = _pull(bi)
+            if rows is not None:
+                all_rows.append(rows)
         if not all_rows:
             z = np.zeros((0, NL), np.uint32)
             return cls(z, np.zeros(0, np.int32), np.zeros(0, np.int32),
