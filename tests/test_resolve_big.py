@@ -63,3 +63,38 @@ def test_212_span_kmer_resolution():
         comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
         return "".join(comp[c] for c in reversed(s))
     assert contained(want0) and contained(want1)
+
+
+def test_212_cov_worklist_equals_oracle():
+    """The worklist resolve_212_by_cov must produce the exact graph of
+    the full-rescan `while resolve_212_by_cov_1step` fixpoint, on a
+    junction the coverage test actually resolves (haplotypes simulated
+    at 2x differing depth so legs split >1.7x)."""
+    from turingassembler_tpu.resolve.big import (resolve_212_by_cov,
+                                                 resolve_212_by_cov_1step)
+
+    k = 21
+    h0, h1 = make_212_genome(rep_len=60, k=k)
+    r0, l0 = tt.sim_reads(h0, coverage=50, read_len=150, seed=3)
+    r1, l1 = tt.sim_reads(h1, coverage=20, read_len=150, seed=4)
+    reads = np.concatenate([r0, r1])
+    lengths = np.concatenate([l0, l1])
+    ke, c = count_kedges_from_reads(reads, lengths, k)
+    g = build_graph_from_kedges(ke, c, k)
+
+    mg_o = MutableGraph.from_asm(g)
+    n_o = 0
+    while True:
+        r = resolve_212_by_cov_1step(mg_o)
+        if not r:
+            break
+        n_o += r
+    mg_w = MutableGraph.from_asm(g)
+    n_w = resolve_212_by_cov(mg_w)
+    assert n_o == n_w and n_o >= 1, (n_o, n_w)
+
+    def key(mgx):
+        gx = mgx.to_asm()
+        return sorted((gx.get_seq(int(e)).tobytes(), int(gx.edge_count[e]))
+                      for e in np.flatnonzero(gx.alive_mask()))
+    assert key(mg_o) == key(mg_w)

@@ -251,12 +251,11 @@ def cmd_resolve_212_cov(cfg: Config):
     from .graph.condense import asm_condense
     from .io import asmg
     from .pipeline import save_graph_info
-    from .resolve.big import resolve_212_by_cov_1step
+    from .resolve.big import resolve_212_by_cov
     set_log_stage("resolve_212_cov")
     g = asmg.load_graph(cfg.in_file)
     mg = MutableGraph.from_asm(g)
-    while resolve_212_by_cov_1step(mg):
-        pass
+    resolve_212_by_cov(mg)
     g = asm_condense(mg.to_asm())
     save_graph_info(g, cfg.out_dir, "212_resolved")
 
