@@ -148,3 +148,32 @@ def test_count_kedges_multi_matches_per_gap():
                                                engine="np")
         np.testing.assert_array_equal(out[i][0], exp_k)
         np.testing.assert_array_equal(out[i][1], exp_c)
+
+
+def test_map_contig_union_join_equals_per_edge_loop():
+    """MapContig's union-table window join must return the same edge as
+    the per-edge searchsorted oracle at every window position, on a
+    local graph with shared/repeated content between edges."""
+    import numpy as np
+
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.graph.from_contigs import graph_from_contigs
+    from turingassembler_tpu.localasm.local import MapContig, WINDOW_SIZE
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 4, 2600).astype(np.uint8)
+    shared = rng.integers(0, 4, 400).astype(np.uint8)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    contigs = [
+        ACGT[np.concatenate([base[:1200], shared])].tobytes().decode(),
+        ACGT[np.concatenate([shared, base[1200:2400]])].tobytes().decode(),
+        ACGT[base[2400:2600]].tobytes().decode(),   # shorter than a window
+    ]
+    lg = graph_from_contigs(contigs, 31)
+    # query: crosses both edges and the shared run, plus noise tails
+    q = np.concatenate([rng.integers(0, 4, 300).astype(np.uint8),
+                        base[:1200], shared, base[1200:2400],
+                        rng.integers(0, 4, 300).astype(np.uint8)])
+    mc = MapContig(q, lg)
+    for pos in range(0, len(q), WINDOW_SIZE // 2):
+        assert mc._match_window_uncached(pos) == mc._match_window_ref(pos), pos

@@ -417,28 +417,133 @@ def _seq_kmer_table(seq: np.ndarray, k: int):
     return np.unique(keys, return_counts=True)
 
 
+def _hash_void_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    """uint64 mix of void k-mer keys (vectorized FNV-ish column fold).
+    Used as a search accelerator only — consumers verify the full key
+    (or pre-check the table is collision-free), so results stay exact."""
+    if len(keys) == 0:
+        return np.zeros(0, np.uint64)
+    # fold 4 bytes at a time from a view (no (n, k) uint64 temp: that
+    # materialization cost ~400 MB of first-touch page faults per big
+    # union table and regressed the bridge 2x — round-4 measurement)
+    n4 = k // 4
+    b32 = keys.view(np.uint32).reshape(len(keys), n4)
+    h = np.full(len(keys), np.uint64(0xCBF29CE484222325), np.uint64)
+    P = np.uint64(0x100000001B3)
+    for j in range(n4):
+        h = (h ^ b32[:, j].astype(np.uint64)) * P
+    rem = k - 4 * n4
+    if rem:
+        tail = keys.view(np.uint8).reshape(len(keys), k)[:, 4 * n4 :]
+        for j in range(rem):
+            h = (h ^ tail[:, j].astype(np.uint64)) * P
+    return h
+
+
+_EDGE_TABLE_CACHE: dict = {}   # seq-bytes fingerprint -> (keys, counts)
+
+
+def _seq_kmer_table_cached(seq: np.ndarray, k: int):
+    """_seq_kmer_table with a cross-graph cache keyed on the sequence
+    bytes: the bridge stage condenses/remaps local graphs repeatedly and
+    most edge sequences survive unchanged, so their tables do too."""
+    sb = seq.tobytes()
+    key = (k, len(sb), hash(sb))
+    hit = _EDGE_TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == sb:
+        return hit[1]
+    tab = _seq_kmer_table(seq, k)
+    if len(_EDGE_TABLE_CACHE) > 4096:
+        _EDGE_TABLE_CACHE.clear()
+    _EDGE_TABLE_CACHE[key] = (sb, tab)
+    return tab
+
+
+def _lg_union_kmer_table(lg: AsmGraph):
+    """Union (key, edge, count) table over all live edges of a local
+    graph, grouped by sorted unique key — built once per graph and
+    cached on it (MapContig is instantiated per flank and per scaffold
+    contig against the SAME graph; rebuilding per instance plus a
+    per-edge searchsorted loop per window made window voting ~65% of
+    the bridge stage at E. coli scale, round-4 profile).
+
+    Returns (ukeys (U,) void, uoff (U+1,) int64, edge_arr (T,) int64,
+    cnt_arr (T,) int64, eligible (n_e,) bool)."""
+    cached = getattr(lg, "_map_union_table", None)
+    if cached is not None:
+        return cached
+    keys_l, edges_l, cnts_l = [], [], []
+    eligible = np.zeros(lg.n_e, bool)
+    for e in range(lg.n_e):
+        if lg.edge_source[e] < 0:
+            continue
+        k_, c_ = _seq_kmer_table_cached(lg.get_seq(e), MAP_KSIZE)
+        if len(k_) == 0:
+            continue
+        eligible[e] = lg.edge_len(e) >= WINDOW_SIZE
+        keys_l.append(k_)
+        edges_l.append(np.full(len(k_), e, np.int64))
+        cnts_l.append(c_.astype(np.int64))
+    if not keys_l:
+        out = (np.zeros(0, f"V{MAP_KSIZE}"), np.zeros(1, np.int64),
+               np.zeros(0, np.int64), np.zeros(0, np.int64), eligible,
+               np.zeros(0, np.uint64), np.zeros(0, np.int64))
+        lg._map_union_table = out
+        return out
+    keys = np.concatenate(keys_l)
+    edges = np.concatenate(edges_l)
+    cnts = np.concatenate(cnts_l)
+    order = np.argsort(keys, kind="stable")   # edge ids ascend per key
+    keys, edges, cnts = keys[order], edges[order], cnts[order]
+    starts = np.ones(len(keys), bool)
+    starts[1:] = keys[1:] != keys[:-1]
+    idx = np.flatnonzero(starts)
+    ukeys = keys[idx]
+    uoff = np.concatenate([idx, [len(keys)]]).astype(np.int64)
+    # hash accelerator: searchsorted over 8-byte hashes instead of
+    # 100-byte void keys (12x less compare traffic).  Exactness: if any
+    # two DISTINCT keys collide (probability ~U^2/2^64), the flag stays
+    # False and consumers use the void-key path.
+    uhash = _hash_void_keys(ukeys, MAP_KSIZE)
+    order2 = np.argsort(uhash, kind="stable")
+    hash_ok = bool((np.diff(uhash[order2]) != 0).all()) if len(uhash) > 1 \
+        else True
+    out = (ukeys, uoff, edges, cnts, eligible,
+           uhash[order2] if hash_ok else None,
+           order2.astype(np.int64) if hash_ok else None)
+    lg._map_union_table = out
+    return out
+
+
 class MapContig:
     """Window-vote mapping of one global contig into a local graph
-    (reference map_contig.c)."""
+    (reference map_contig.c).  Window scores are computed for ALL edges
+    at once via a sorted join against the graph's union k-mer table —
+    same points formula and first-qualifying-edge (lowest id) result as
+    the per-edge loop it replaces."""
 
     def __init__(self, global_seq: np.ndarray, lg: AsmGraph):
         self.gseq = global_seq
         self.lg = lg
-        # per-edge sorted-unique 100-mer keys + multiplicities (void
-        # views, numpy-searchable) — the dict multisets made window
-        # voting a python loop over ~3k keys per (window, edge) pair
-        self.edge_kmers = []
-        for e in range(lg.n_e):
-            if lg.edge_source[e] < 0:
-                self.edge_kmers.append(None)
-            else:
-                self.edge_kmers.append(
-                    _seq_kmer_table(lg.get_seq(e), MAP_KSIZE))
+        (self.ukeys, self.uoff, self.edge_arr, self.cnt_arr,
+         self.eligible, self.uhash_sorted,
+         self.uhash_order) = _lg_union_kmer_table(lg)
         self.is_match = np.zeros(lg.n_e, bool)
         self.best_match = -1
         self.best_window = -1
+        self._window_memo = {}
 
     def _match_window(self, pos: int) -> int:
+        hit = self._window_memo.get(pos)
+        if hit is not None:
+            return hit
+        e = self._match_window_uncached(pos)
+        self._window_memo[pos] = e
+        return e
+
+    def _match_window_ref(self, pos: int) -> int:
+        """Oracle: the per-edge searchsorted loop the union-table join
+        replaced (kept for the equivalence test)."""
         length = min(WINDOW_SIZE, len(self.gseq) - pos)
         if length < MAP_KSIZE:
             return -1
@@ -448,10 +553,9 @@ class MapContig:
         for e in range(self.lg.n_e):
             if self.lg.edge_len(e) < WINDOW_SIZE:
                 continue
-            tab = self.edge_kmers[e]
-            if tab is None:
+            if self.lg.edge_source[e] < 0:
                 continue
-            ekeys, ecnt = tab
+            ekeys, ecnt = _seq_kmer_table(self.lg.get_seq(e), MAP_KSIZE)
             if not len(ekeys) or not len(wkeys):
                 continue
             idx = np.searchsorted(ekeys, wkeys)
@@ -461,6 +565,50 @@ class MapContig:
             if pts >= POINT_HIGH_THRESH * n_wk:
                 return e
         return -1
+
+    def _match_window_uncached(self, pos: int) -> int:
+        length = min(WINDOW_SIZE, len(self.gseq) - pos)
+        if length < MAP_KSIZE:
+            return -1
+        if len(self.ukeys) == 0:
+            return -1
+        wkeys, wcnt = _seq_kmer_table(self.gseq[pos : pos + length],
+                                      MAP_KSIZE)
+        if not len(wkeys):
+            return -1
+        n_wk = max(1, length - MAP_KSIZE + 1)
+        if self.uhash_sorted is not None:
+            # hash-space search; the full-key compare below rejects any
+            # query whose hash matches but whose key differs, and the
+            # table is pre-checked collision-free, so this is exact
+            wh = _hash_void_keys(wkeys, MAP_KSIZE)
+            hidx = np.searchsorted(self.uhash_sorted, wh)
+            hidx[hidx >= len(self.uhash_sorted)] = \
+                len(self.uhash_sorted) - 1
+            idx = self.uhash_order[hidx]
+            ok = (self.uhash_sorted[hidx] == wh) & (self.ukeys[idx] == wkeys)
+        else:
+            idx = np.searchsorted(self.ukeys, wkeys)
+            idx[idx >= len(self.ukeys)] = len(self.ukeys) - 1
+            ok = self.ukeys[idx] == wkeys
+        if not ok.any():
+            return -1
+        ki = idx[ok]
+        wc = wcnt[ok].astype(np.int64)
+        lo = self.uoff[ki]
+        reps = self.uoff[ki + 1] - lo
+        tot = int(reps.sum())
+        if tot == 0:
+            return -1
+        flat = np.repeat(lo, reps) + (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps))
+        e_ids = self.edge_arr[flat]
+        contrib = np.minimum(np.repeat(wc, reps), self.cnt_arr[flat])
+        pts = np.bincount(e_ids, weights=contrib, minlength=self.lg.n_e)
+        qual = np.flatnonzero(
+            self.eligible & (pts >= POINT_HIGH_THRESH * n_wk))
+        return int(qual[0]) if len(qual) else -1
 
     def find_match(self) -> int:
         pos = 0
