@@ -493,24 +493,38 @@ def _lg_union_kmer_table(lg: AsmGraph):
     keys = np.concatenate(keys_l)
     edges = np.concatenate(edges_l)
     cnts = np.concatenate(cnts_l)
-    order = np.argsort(keys, kind="stable")   # edge ids ascend per key
-    keys, edges, cnts = keys[order], edges[order], cnts[order]
+    # group by HASH order: the uint64 argsort replaces a 100-byte void
+    # argsort (the union build was ~30% of the bridge stage after the
+    # join rewrite).  Exactness: stable sort puts identical keys (equal
+    # hashes) adjacent and edge ids ascending; if two DISTINCT keys
+    # ever collide (~U^2/2^64), rebuild in void-key order and search
+    # without the accelerator.
+    khash = _hash_void_keys(keys, MAP_KSIZE)
+    order = np.argsort(khash, kind="stable")
+    keys, edges, cnts, khash = (keys[order], edges[order], cnts[order],
+                                khash[order])
     starts = np.ones(len(keys), bool)
-    starts[1:] = keys[1:] != keys[:-1]
+    starts[1:] = khash[1:] != khash[:-1]
+    # collision check: equal adjacent hashes must mean equal keys
+    eqh = ~starts[1:]
+    collision = bool((keys[1:][eqh] != keys[:-1][eqh]).any()) \
+        if eqh.any() else False
+    if collision:
+        order = np.argsort(keys, kind="stable")
+        keys, edges, cnts = keys[order], edges[order], cnts[order]
+        starts = np.ones(len(keys), bool)
+        starts[1:] = keys[1:] != keys[:-1]
+        idx = np.flatnonzero(starts)
+        ukeys = keys[idx]
+        uoff = np.concatenate([idx, [len(keys)]]).astype(np.int64)
+        out = (ukeys, uoff, edges, cnts, eligible, None, None)
+        lg._map_union_table = out
+        return out
     idx = np.flatnonzero(starts)
-    ukeys = keys[idx]
+    ukeys = keys[idx]               # hash-ordered
     uoff = np.concatenate([idx, [len(keys)]]).astype(np.int64)
-    # hash accelerator: searchsorted over 8-byte hashes instead of
-    # 100-byte void keys (12x less compare traffic).  Exactness: if any
-    # two DISTINCT keys collide (probability ~U^2/2^64), the flag stays
-    # False and consumers use the void-key path.
-    uhash = _hash_void_keys(ukeys, MAP_KSIZE)
-    order2 = np.argsort(uhash, kind="stable")
-    hash_ok = bool((np.diff(uhash[order2]) != 0).all()) if len(uhash) > 1 \
-        else True
-    out = (ukeys, uoff, edges, cnts, eligible,
-           uhash[order2] if hash_ok else None,
-           order2.astype(np.int64) if hash_ok else None)
+    uhash_sorted = khash[idx]       # ascending by construction
+    out = (ukeys, uoff, edges, cnts, eligible, uhash_sorted, None)
     lg._map_union_table = out
     return out
 
@@ -526,8 +540,8 @@ class MapContig:
         self.gseq = global_seq
         self.lg = lg
         (self.ukeys, self.uoff, self.edge_arr, self.cnt_arr,
-         self.eligible, self.uhash_sorted,
-         self.uhash_order) = _lg_union_kmer_table(lg)
+         self.eligible, self.uhash_sorted, _unused) = \
+            _lg_union_kmer_table(lg)
         self.is_match = np.zeros(lg.n_e, bool)
         self.best_match = -1
         self.best_window = -1
@@ -578,15 +592,15 @@ class MapContig:
             return -1
         n_wk = max(1, length - MAP_KSIZE + 1)
         if self.uhash_sorted is not None:
-            # hash-space search; the full-key compare below rejects any
-            # query whose hash matches but whose key differs, and the
-            # table is pre-checked collision-free, so this is exact
+            # hash-space search over the hash-ordered table; the
+            # full-key compare below rejects any query whose hash
+            # matches but whose key differs, and the table is
+            # pre-checked collision-free, so this is exact
             wh = _hash_void_keys(wkeys, MAP_KSIZE)
-            hidx = np.searchsorted(self.uhash_sorted, wh)
-            hidx[hidx >= len(self.uhash_sorted)] = \
+            idx = np.searchsorted(self.uhash_sorted, wh)
+            idx[idx >= len(self.uhash_sorted)] = \
                 len(self.uhash_sorted) - 1
-            idx = self.uhash_order[hidx]
-            ok = (self.uhash_sorted[hidx] == wh) & (self.ukeys[idx] == wkeys)
+            ok = (self.uhash_sorted[idx] == wh) & (self.ukeys[idx] == wkeys)
         else:
             idx = np.searchsorted(self.ukeys, wkeys)
             idx[idx >= len(self.ukeys)] = len(self.ukeys) - 1
