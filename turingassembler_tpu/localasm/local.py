@@ -468,7 +468,8 @@ def _lg_union_kmer_table(lg: AsmGraph):
     the bridge stage at E. coli scale, round-4 profile).
 
     Returns (ukeys (U,) void, uoff (U+1,) int64, edge_arr (T,) int64,
-    cnt_arr (T,) int64, eligible (n_e,) bool)."""
+    cnt_arr (T,) int64, eligible (n_e,) bool, uhash_sorted (U,) uint64
+    or None when a hash collision forced the void-key order)."""
     cached = getattr(lg, "_map_union_table", None)
     if cached is not None:
         return cached
@@ -487,7 +488,7 @@ def _lg_union_kmer_table(lg: AsmGraph):
     if not keys_l:
         out = (np.zeros(0, f"V{MAP_KSIZE}"), np.zeros(1, np.int64),
                np.zeros(0, np.int64), np.zeros(0, np.int64), eligible,
-               np.zeros(0, np.uint64), np.zeros(0, np.int64))
+               np.zeros(0, np.uint64))
         lg._map_union_table = out
         return out
     keys = np.concatenate(keys_l)
@@ -517,14 +518,14 @@ def _lg_union_kmer_table(lg: AsmGraph):
         idx = np.flatnonzero(starts)
         ukeys = keys[idx]
         uoff = np.concatenate([idx, [len(keys)]]).astype(np.int64)
-        out = (ukeys, uoff, edges, cnts, eligible, None, None)
+        out = (ukeys, uoff, edges, cnts, eligible, None)
         lg._map_union_table = out
         return out
     idx = np.flatnonzero(starts)
     ukeys = keys[idx]               # hash-ordered
     uoff = np.concatenate([idx, [len(keys)]]).astype(np.int64)
     uhash_sorted = khash[idx]       # ascending by construction
-    out = (ukeys, uoff, edges, cnts, eligible, uhash_sorted, None)
+    out = (ukeys, uoff, edges, cnts, eligible, uhash_sorted)
     lg._map_union_table = out
     return out
 
@@ -540,8 +541,7 @@ class MapContig:
         self.gseq = global_seq
         self.lg = lg
         (self.ukeys, self.uoff, self.edge_arr, self.cnt_arr,
-         self.eligible, self.uhash_sorted, _unused) = \
-            _lg_union_kmer_table(lg)
+         self.eligible, self.uhash_sorted) = _lg_union_kmer_table(lg)
         self.is_match = np.zeros(lg.n_e, bool)
         self.best_match = -1
         self.best_window = -1
