@@ -98,3 +98,42 @@ def test_1mbp_repeat_family_gapless_through_assembly3(tmp_path):
     assert res.n_misassemblies == 0
     assert res.genome_fraction > 0.97
     assert res.nga50 >= 0.9 * len(genome), res
+
+
+@pytest.mark.slow
+def test_k63_repeat_genome_gapless_through_assembly3(tmp_path):
+    """The k63 global-DBG gate (BASELINE.json configs[3]: the
+    S. cerevisiae linked-read config runs the k63 path).  Same shape as
+    the k45 gate but the whole pipeline — 64-base (k0+1)-mer counting
+    (3-limb keys, ops/limbs.py), level-0 build, resolve, mapping,
+    scaffolding, bridging — runs at k0=63 end to end.  Reference
+    analogue: the user-selectable odd k0 up to 63
+    (/root/reference/src/main.c:52,196-197,317-318)."""
+    rng = np.random.default_rng(77)
+    genome = rng.integers(0, 4, 120_000).astype(np.uint8)
+    rep = rng.integers(0, 4, 700).astype(np.uint8)
+    for pos in (30_000, 75_000):
+        genome[pos : pos + 700] = rep
+
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
+        genome, molecule_len=12_000, n_molecules=2600,
+        reads_per_molecule=20, read_len=150, insert=350, seed=2,
+        error_rate=0.002)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            o1.write(f"@r{i}\n{ACGT[r1[i]].tobytes().decode()}\n+\n{'I'*150}\n")
+            o2.write(f"@r{i}\n{ACGT[r2[i]].tobytes().decode()}\n+\n{'I'*150}\n")
+            oI.write(f"@r{i}\n{encode_barcode(int(bcs[i])+1,16).decode()}\n+\n{'I'*16}\n")
+
+    out = str(tmp_path / "out")
+    rc = cli_main(["assembly3", "-1", f1, "-2", f2, "-I", fI,
+                   "-l", "ust", "-k0", "63", "-mc", "2", "-o", out])
+    assert rc == 0
+    final = os.path.join(out, "scaffold.full.fasta")
+    contigs = [s for _, s in read_fasta(final)]
+    res = evaluate_assembly(contigs, tt.codes_to_str(genome))
+    assert res.n_misassemblies == 0
+    assert res.genome_fraction > 0.97
+    assert res.nga50 >= 0.9 * len(genome), res
