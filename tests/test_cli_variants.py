@@ -159,3 +159,25 @@ def test_resolve_molecule(assembled, tmp_path):
                      *assembled["sorted_args"], "-k0", "31",
                      "-o", d]) == 0
     assert os.path.exists(os.path.join(d, "molecules.fasta"))
+
+
+def test_evaluate_subcommand(tmp_path, capsys):
+    """`evaluate -f asm.fasta -ref truth.fasta` prints the QUAST-style
+    report (NGA50 / misassemblies / genome fraction — the metrics of
+    the reference's published claim, README.md:13-15) and exits 0 only
+    when no truth record shows a misassembly."""
+    g = tt.codes_to_str(tt.random_genome(30_000, seed=44))
+    truth = str(tmp_path / "truth.fasta")
+    asm = str(tmp_path / "asm.fasta")
+    with open(truth, "w") as f:
+        f.write(f">chr1\n{g}\n")
+    with open(asm, "w") as f:
+        f.write(f">c1\n{g[:18000]}\n>c2\n{g[17000:]}\n")
+    assert cli_main(["evaluate", "-f", asm, "-ref", truth]) == 0
+    out = capsys.readouterr().out
+    assert "genome_fraction=1.000" in out and "misassemblies=0" in out
+
+    with open(asm, "w") as f:                 # two distant spans glued
+        f.write(f">bad\n{g[:5000] + g[20000:26000]}\n")
+    assert cli_main(["evaluate", "-f", asm, "-ref", truth]) == 1
+    assert cli_main(["evaluate"]) == 2        # missing args

@@ -29,6 +29,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-i", dest="in_file", default=None, help="input graph .bin")
     p.add_argument("-f", dest="in_fasta", default=None, help="input fasta")
     p.add_argument("-lc", dest="in_contig_file", default=None, help="scaffold contig fasta")
+    p.add_argument("-ref", dest="ref_fasta", default=None,
+                   help="truth genome fasta (for `evaluate`)")
     p.add_argument("-t", dest="n_threads", type=int, default=4)
     p.add_argument("-sm", dest="mmem_gb", type=int, default=32)
     p.add_argument("-mc", dest="min_kmer_count", type=int, default=1,
@@ -56,6 +58,7 @@ def _cfg_from_args(a) -> Config:
         files_I=tuple(a.files_I),
         in_file=a.in_file, in_fasta=a.in_fasta,
         in_contig_file=a.in_contig_file,
+        ref_fasta=a.ref_fasta,
     )
     import dataclasses
     cfg = cfg.replace(device=dataclasses.replace(cfg.device,
@@ -624,6 +627,31 @@ def cmd_mm_index(cfg: Config):
           f"({100.0 * singles / max(n, 1):.1f}%), k={idx.k} w={idx.w}")
 
 
+@command("evaluate")
+def cmd_evaluate(cfg: Config):
+    """QUAST-style quality report for an assembly against a known truth
+    genome: NGA50, aligned blocks, misassemblies, genome fraction per
+    truth record (the metrics of the reference's published claim,
+    /root/reference/README.md:13-15, which it obtains from external
+    QUAST).  Usage: evaluate -f assembly.fasta -ref truth.fasta"""
+    from .evaluate import evaluate_assembly
+    from .io.fasta import read_fasta
+    if not cfg.in_fasta or not cfg.ref_fasta:
+        print("evaluate needs -f assembly.fasta and -ref truth.fasta",
+              file=sys.stderr)
+        return 2
+    contigs = [s for _, s in read_fasta(cfg.in_fasta)]
+    total = sum(len(c) for c in contigs)
+    print(f"assembly: {len(contigs)} contigs, {total:,} bp "
+          f"(largest {max(map(len, contigs), default=0):,})")
+    worst = 0
+    for name, truth in read_fasta(cfg.ref_fasta):
+        res = evaluate_assembly(contigs, truth)
+        print(f"{name} ({len(truth):,} bp): {res}")
+        worst = max(worst, res.n_misassemblies)
+    return 0 if worst == 0 else 1
+
+
 @command("bin2text")
 def cmd_bin2text(cfg: Config):
     """Graph round-trip debug dump (reference process.c:31-45)."""
@@ -679,11 +707,11 @@ def main(argv=None) -> int:
                          num_processes=a.dist_nproc,
                          process_id=a.dist_pid)
     try:
-        COMMANDS[a.cmd](cfg)
+        rc = COMMANDS[a.cmd](cfg)
     except FileNotFoundError as e:
         print(f"{a.cmd}: file not found: {e}", file=sys.stderr)
         return 1
-    return 0
+    return int(rc) if rc is not None else 0
 
 
 if __name__ == "__main__":

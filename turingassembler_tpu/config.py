@@ -188,6 +188,7 @@ class Config:
     in_file: Optional[str] = None
     in_fasta: Optional[str] = None
     in_contig_file: Optional[str] = None
+    ref_fasta: Optional[str] = None    # truth genome for `evaluate`
 
     graph: GraphThresholds = field(default_factory=GraphThresholds)
     bridge: BridgeThresholds = field(default_factory=BridgeThresholds)
