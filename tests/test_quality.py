@@ -63,3 +63,29 @@ def test_repeat_genome_quality():
     assert res.n_misassemblies == 0
     assert res.genome_fraction > 0.95
     assert res.nga50 >= 8_000, res
+
+
+def test_evaluator_mismatch_and_indel_tally():
+    """The evaluator's third QUAST headline metric (the reference
+    publishes 5.65 mismatches/100 kbp, README.md:13): planted
+    substitutions are counted exactly via inter-anchor hamming spans,
+    indels as |length diff| between anchors, and neither produces a
+    phantom misassembly."""
+    import random
+
+    g = tt.codes_to_str(tt.random_genome(100_000, seed=7))
+    rng = random.Random(3)
+    pos = sorted(rng.sample(range(1000, 99_000), 12))
+    carr = list(g)
+    for p in pos:
+        carr[p] = {"A": "C", "C": "G", "G": "T", "T": "A"}[carr[p]]
+    res = evaluate_assembly(["".join(carr)], g)
+    assert res.n_misassemblies == 0
+    assert res.n_mismatches == 12
+    assert abs(res.mismatches_per_100kbp - 12.0) < 0.1
+
+    assert evaluate_assembly([g[:50_000]], g).n_mismatches == 0
+
+    res3 = evaluate_assembly([g[:30_000] + g[30_005:60_000]], g)
+    assert res3.n_misassemblies == 0
+    assert res3.n_indel_bases >= 5

@@ -31,11 +31,18 @@ class EvalResult:
     genome_fraction: float
     total_aligned: int
     largest_alignment: int
+    n_mismatches: int = 0
+    n_indel_bases: int = 0
+
+    @property
+    def mismatches_per_100kbp(self) -> float:
+        return 1e5 * self.n_mismatches / max(self.total_aligned, 1)
 
     def __str__(self):
         return (f"NGA50={self.nga50} blocks={self.n_blocks} "
                 f"misassemblies={self.n_misassemblies} "
-                f"genome_fraction={self.genome_fraction:.3f}")
+                f"genome_fraction={self.genome_fraction:.3f} "
+                f"mismatches/100kbp={self.mismatches_per_100kbp:.2f}")
 
 
 def _anchor_index(genome: str, k: int = ANCHOR_K) -> Dict[str, int]:
@@ -62,6 +69,8 @@ def evaluate_assembly(contigs: List[str], genome: str,
     idx = _anchor_index(genome, k)
     blocks: List[Tuple[int, int]] = []   # (ref_start, ref_end)
     n_mis = 0
+    n_sub = 0
+    n_ind = 0
     for contig in contigs:
         for seq in (contig, _rc(contig)):
             anchors = []
@@ -120,6 +129,23 @@ def evaluate_assembly(contigs: List[str], genome: str,
             for run in kept:
                 (c0, p0), (c1, p1) = run[0], run[-1]
                 blocks.append((p0, p1 + k))
+                # mismatch/indel tally (QUAST's third headline metric:
+                # the reference publishes 5.65 mismatches/100 kbp,
+                # README.md:13).  Anchors are exact k-mer matches, so
+                # substitutions live strictly between consecutive
+                # anchors; equal-length inter-anchor spans are hamming
+                # counts, unequal spans contribute |length diff| indel
+                # bases (their substitutions are not separable without
+                # full DP — QUAST counts the gap the same way).
+                for (ci, pi), (cj, pj) in zip(run, run[1:]):
+                    if cj - ci == pj - pi:
+                        a = np.frombuffer(
+                            seq[ci:cj].encode(), np.uint8)
+                        b = np.frombuffer(
+                            genome[pi:pj].encode(), np.uint8)
+                        n_sub += int((a != b).sum())
+                    else:
+                        n_ind += abs((cj - ci) - (pj - pi))
             break  # one orientation is enough once anchored
     if not blocks:
         return EvalResult(0, 0, n_mis, 0.0, 0, 0)
@@ -145,4 +171,5 @@ def evaluate_assembly(contigs: List[str], genome: str,
             nga50 = L
             break
     return EvalResult(nga50, len(blocks), n_mis,
-                      covered / len(genome), sum(lens), lens[0])
+                      covered / len(genome), sum(lens), lens[0],
+                      n_sub, n_ind)
