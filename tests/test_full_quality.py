@@ -105,7 +105,7 @@ def test_k63_repeat_genome_gapless_through_assembly3(tmp_path):
     """The k63 global-DBG gate (BASELINE.json configs[3]: the
     S. cerevisiae linked-read config runs the k63 path).  Same shape as
     the k45 gate but the whole pipeline — 64-base (k0+1)-mer counting
-    (3-limb keys, ops/limbs.py), level-0 build, resolve, mapping,
+    (4-limb keys — ceil(64/16), ops/limbs.py), level-0 build, resolve, mapping,
     scaffolding, bridging — runs at k0=63 end to end.  Reference
     analogue: the user-selectable odd k0 up to 63
     (/root/reference/src/main.c:52,196-197,317-318)."""

@@ -644,12 +644,17 @@ def cmd_evaluate(cfg: Config):
     total = sum(len(c) for c in contigs)
     print(f"assembly: {len(contigs)} contigs, {total:,} bp "
           f"(largest {max(map(len, contigs), default=0):,})")
-    worst = 0
-    for name, truth in read_fasta(cfg.ref_fasta):
-        res = evaluate_assembly(contigs, truth)
-        print(f"{name} ({len(truth):,} bp): {res}")
-        worst = max(worst, res.n_misassemblies)
-    return 0 if worst == 0 else 1
+    # one combined anchor index over ALL truth records: a contig joining
+    # two records is a translocation and must count as a misassembly
+    # (QUAST's extensive inter-record class)
+    records = list(read_fasta(cfg.ref_fasta))
+    res = evaluate_assembly(contigs, records)
+    print(f"truth: {len(records)} records, "
+          f"{sum(len(g) for _, g in records):,} bp")
+    print(res)
+    for name, frac in res.record_fraction:
+        print(f"  {name}: fraction {frac:.3f}")
+    return 0 if res.n_misassemblies == 0 else 1
 
 
 @command("bin2text")
