@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""E. coli-scale evidence run (VERDICT r4 #2 — the committed,
+reproducible form of the round-4 flagship result).
+
+Synthesizes the reference's own operating point — a 4.6 Mbp genome with
+two planted repeat families (7x900 bp @99% identity + 4x700 bp @99.5%)
+and ~715k TELL-Seq-style barcoded read pairs (~37x) — then runs the
+full `assembly3` CLI and scores the result against the truth genome
+with the in-tree QUAST stand-in.  The claim being matched is the
+reference's published E. coli K12 TELL-Seq table
+(/root/reference/README.md:13-15: NGA50 4,632,444, gapless,
+5.65 mismatches / 0.47 indels per 100 kbp).
+
+Usage:
+    python tools/ecoli_scale.py --out /tmp/ecoli --report ECOLI_r05.json
+    python tools/ecoli_scale.py --cpu ...          # force host-only
+    python tools/ecoli_scale.py --harsh ...        # 0.5% errors +
+                                                   # barcode collisions +
+                                                   # chimeric molecules
+
+Exit status 0 iff every quality bound holds (misassemblies == 0,
+genome fraction >= 0.99, NGA50 >= 0.9x genome, mismatches/100kbp and
+indels/100kbp within parity bounds of the published table).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GENOME_SIZE = 4_600_000
+N_MOLECULES = 35_750
+READS_PER_MOL = 20           # 715k pairs
+READ_LEN = 120               # 715k * 2 * 120 / 4.6 Mbp = 37x
+MOLECULE_LEN = 20_000
+INSERT = 300
+# parity bounds vs the published table (README.md:13-15: 5.65 / 0.47):
+# the synthetic library is substitution-only at --error so the
+# assembly's residual should be at or below the reference's real-data
+# numbers; these are asserted, not just reported
+MISMATCH_BOUND_100KBP = 5.65
+INDEL_BOUND_100KBP = 0.47
+
+
+def build_genome(seed: int = 11) -> np.ndarray:
+    from turingassembler_tpu import testing as tt
+    genome = tt.random_genome(GENOME_SIZE, seed=seed)
+    # repeat family 1: 7 copies, 900 bp, 99% identity
+    rep1 = tt.random_genome(900, seed=seed + 100)
+    pos1 = np.linspace(300_000, GENOME_SIZE - 300_000, 7).astype(int)
+    for i, p in enumerate(pos1):
+        genome[p : p + 900] = tt.mutate_identity(rep1, 0.99, seed=seed + 200 + i)
+    # repeat family 2: 4 copies, 700 bp, 99.5% identity
+    rep2 = tt.random_genome(700, seed=seed + 300)
+    pos2 = np.linspace(150_000, GENOME_SIZE - 150_000, 4).astype(int) + 37_000
+    for i, p in enumerate(pos2):
+        genome[p : p + 700] = tt.mutate_identity(rep2, 0.995, seed=seed + 400 + i)
+    return genome
+
+
+def write_library(out_dir: str, genome: np.ndarray, error_rate: float,
+                  collision_rate: float, chimera_rate: float, seed: int):
+    """Write R1/R2/I1 FASTQ of the simulated library; returns paths."""
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.io.fastq import encode_barcode
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs_fast(
+        genome, molecule_len=MOLECULE_LEN, n_molecules=N_MOLECULES,
+        reads_per_molecule=READS_PER_MOL, read_len=READ_LEN, insert=INSERT,
+        seed=seed, error_rate=error_rate, collision_rate=collision_rate,
+        chimera_rate=chimera_rate)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    qual = "I" * READ_LEN
+    qual16 = "I" * 16
+    paths = [os.path.join(out_dir, n) for n in ("R1.fq", "R2.fq", "I1.fq")]
+    os.makedirs(out_dir, exist_ok=True)
+    bc_seqs = {}
+    CHUNK = 50_000
+    with open(paths[0], "w") as f1, open(paths[1], "w") as f2, \
+            open(paths[2], "w") as fI:
+        for lo in range(0, len(r1), CHUNK):
+            hi = min(lo + CHUNK, len(r1))
+            s1 = ACGT[r1[lo:hi]]
+            s2 = ACGT[r2[lo:hi]]
+            buf1, buf2, bufI = [], [], []
+            for j in range(hi - lo):
+                i = lo + j
+                bc = int(bcs[i])
+                bseq = bc_seqs.get(bc)
+                if bseq is None:
+                    bseq = encode_barcode(bc + 1, 16).decode()
+                    bc_seqs[bc] = bseq
+                buf1.append(f"@r{i}\n{s1[j].tobytes().decode()}\n+\n{qual}\n")
+                buf2.append(f"@r{i}\n{s2[j].tobytes().decode()}\n+\n{qual}\n")
+                bufI.append(f"@r{i}\n{bseq}\n+\n{qual16}\n")
+            f1.write("".join(buf1))
+            f2.write("".join(buf2))
+            fI.write("".join(bufI))
+    return paths, len(r1)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/ecoli_scale")
+    ap.add_argument("--report", default="ECOLI_report.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force host-only (the r4 CPU/TPU A/B)")
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--error", type=float, default=0.002)
+    ap.add_argument("--harsh", action="store_true",
+                    help="0.5%% errors + 10%% barcode collisions + "
+                         "3%% chimeric molecules (VERDICT r4 #8)")
+    ap.add_argument("--keep-reads", action="store_true",
+                    help="reuse FASTQs already in --out if present")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        # cli.main mirrors the env var (the container presets
+        # JAX_PLATFORMS=axon), so both must be set to stay on host
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+
+    from turingassembler_tpu import testing as tt
+    from turingassembler_tpu.cli import main as cli_main
+    from turingassembler_tpu.evaluate import evaluate_assembly
+    from turingassembler_tpu.io.fasta import read_fasta
+    from turingassembler_tpu import logging_utils
+
+    error_rate = 0.005 if args.harsh else args.error
+    collision = 0.10 if args.harsh else 0.0
+    chimera = 0.03 if args.harsh else 0.0
+
+    t0 = time.time()
+    genome = build_genome(args.seed)
+    f1 = os.path.join(args.out, "R1.fq")
+    if args.keep_reads and os.path.exists(f1):
+        paths = [os.path.join(args.out, n) for n in ("R1.fq", "R2.fq", "I1.fq")]
+        n_pairs = sum(1 for _ in open(paths[0])) // 4
+        print(f"reusing {n_pairs:,} pairs in {args.out}", file=sys.stderr)
+    else:
+        paths, n_pairs = write_library(args.out, genome, error_rate,
+                                       collision, chimera, args.seed + 1)
+        print(f"simulated {n_pairs:,} pairs "
+              f"(error={error_rate}, collisions={collision}, "
+              f"chimera={chimera}) in {time.time()-t0:.0f}s", file=sys.stderr)
+    sim_s = time.time() - t0
+
+    out_dir = os.path.join(args.out, "asm")
+    t1 = time.time()
+    logging_utils.reset_stage_walls()
+    rc = cli_main(["assembly3", "-1", paths[0], "-2", paths[1],
+                   "-I", paths[2], "-l", "ust", "-k0", "45", "-mc", "2",
+                   "-o", out_dir])
+    wall = time.time() - t1
+    if rc != 0:
+        print(f"assembly3 failed rc={rc}", file=sys.stderr)
+        return rc
+    walls = logging_utils.stage_walls()
+
+    final = os.path.join(out_dir, "scaffold.full.fasta")
+    contigs = [s for _, s in read_fasta(final)]
+    t2 = time.time()
+    res = evaluate_assembly(contigs, tt.codes_to_str(genome))
+    eval_s = time.time() - t2
+
+    report = {
+        "round": "r05",
+        "dataset": {
+            "genome_bp": GENOME_SIZE, "n_pairs": n_pairs,
+            "read_len": READ_LEN, "coverage_x": round(
+                2 * n_pairs * READ_LEN / GENOME_SIZE, 1),
+            "error_rate": error_rate, "collision_rate": collision,
+            "chimera_rate": chimera, "seed": args.seed,
+            "repeats": "7x900bp@99% + 4x700bp@99.5%",
+        },
+        "backend": jax.default_backend(),
+        "result": {
+            "nga50": res.nga50,
+            "n_misassemblies": res.n_misassemblies,
+            "n_translocations": res.n_translocations,
+            "n_inversions": res.n_inversions,
+            "genome_fraction": round(res.genome_fraction, 5),
+            "largest_alignment": res.largest_alignment,
+            "mismatches_per_100kbp": round(res.mismatches_per_100kbp, 3),
+            "indels_per_100kbp": round(res.indels_per_100kbp, 3),
+            "n_contigs": len(contigs),
+            "gapless": max(len(c) for c in contigs) >= 0.95 * GENOME_SIZE
+                       and "N" not in max(contigs, key=len),
+        },
+        "reference_published": {
+            "nga50": 4_632_444, "mismatches_per_100kbp": 5.65,
+            "indels_per_100kbp": 0.47, "source": "README.md:13-15",
+        },
+        "walls_s": {k: round(v, 1) for k, v in sorted(walls.items())},
+        "wall_total_s": round(wall, 1),
+        "sim_s": round(sim_s, 1),
+        "eval_s": round(eval_s, 1),
+    }
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report, indent=2))
+
+    ok = (res.n_misassemblies == 0
+          and res.genome_fraction >= 0.99
+          and res.nga50 >= 0.9 * GENOME_SIZE
+          and res.mismatches_per_100kbp <= MISMATCH_BOUND_100KBP
+          and res.indels_per_100kbp <= INDEL_BOUND_100KBP)
+    print(f"quality bounds {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

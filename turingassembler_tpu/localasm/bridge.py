@@ -26,6 +26,8 @@ via the suffix-trim trick of print_bridges :916-934) + unused contigs
 from __future__ import annotations
 
 import os
+import time
+from collections import Counter
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -39,6 +41,23 @@ from ..mapper.minimizers import EdgeMinimizerIndex, map_reads
 from . import local as L
 
 log = get_logger()
+
+# per-phase wall accounting for the bridge stage (the E. coli-scale
+# end-to-end wall lives here, VERDICT r4 #1); build_bridge logs the
+# totals so scale runs can attribute the stage without a profiler
+BRIDGE_PROF: Counter = Counter()
+
+
+class _prof:
+    def __init__(self, key: str):
+        self.key = key
+
+    def __enter__(self):
+        self.t0 = time.time()
+
+    def __exit__(self, *exc):
+        BRIDGE_PROF[self.key] += time.time() - self.t0
+
 
 BRIDGE_LOCAL_NOT_FOUND = 0
 BRIDGE_TRIVIAL_BRIDGE = 1
@@ -216,13 +235,16 @@ def try_bridging(cfg: Config, g: AsmGraph, lg: AsmGraph, scaffolds: List[int],
     if emap1.lc_e == emap2.lc_e:
         return BRIDGE_TRIVIAL_BRIDGE, join_trivial_bridge(g, lg, emap1, emap2)
     # filters
-    lg, emap1, emap2 = L.unrelated_filter(g, lg, emap1, emap2, scaffolds)
-    if emap1.lc_e == -1 or emap2.lc_e == -1:
-        return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, emap1.gl_e, emap2.gl_e)
-    if emap1.lc_e == emap2.lc_e:
-        return BRIDGE_TRIVIAL_BRIDGE, join_trivial_bridge(g, lg, emap1, emap2)
-    lg, emap1, emap2 = L.connection_filter(g, lg, emap1, emap2)
-    lg, emap1, emap2 = L.coverage_filter(g, lg, emap1, emap2)
+    with _prof("filters"):
+        lg, emap1, emap2 = L.unrelated_filter(g, lg, emap1, emap2, scaffolds)
+        if emap1.lc_e == -1 or emap2.lc_e == -1:
+            return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, emap1.gl_e,
+                                                            emap2.gl_e)
+        if emap1.lc_e == emap2.lc_e:
+            return BRIDGE_TRIVIAL_BRIDGE, join_trivial_bridge(g, lg, emap1,
+                                                              emap2)
+        lg, emap1, emap2 = L.connection_filter(g, lg, emap1, emap2)
+        lg, emap1, emap2 = L.coverage_filter(g, lg, emap1, emap2)
     if emap1.lc_e == -1 or emap2.lc_e == -1:
         return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, emap1.gl_e, emap2.gl_e)
     if emap1.lc_e == emap2.lc_e:
@@ -232,14 +254,17 @@ def try_bridging(cfg: Config, g: AsmGraph, lg: AsmGraph, scaffolds: List[int],
     kset = set()
     if local_reads is not None:
         bases, lengths, _ = local_reads
-        kset = L.read_kmer_set(bases, lengths, check_k)
-    paths = L.get_all_paths_kmer_check(lg, emap1, emap2, check_k, kset)
+        with _prof("kmer_set"):
+            kset = L.read_kmer_set(bases, lengths, check_k)
+    with _prof("path_search"):
+        paths = L.get_all_paths_kmer_check(lg, emap1, emap2, check_k, kset)
     if not paths:
         return BRIDGE_PATH_NOT_FOUND, join_bridge_no_path(g, lg, emap1, emap2)
     if len(paths) == 1 or local_reads is None:
         best = 0
     else:
-        best = score_paths(lg, paths, *local_reads)
+        with _prof("score_paths"):
+            best = score_paths(lg, paths, *local_reads)
     return BRIDGE_MULTIPLE_PATH, join_bridge_by_path(g, lg, paths[best],
                                                      emap1, emap2)
 
@@ -273,7 +298,9 @@ def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
         for e in p:
             mark[e] = mark[int(g.edge_rc[e])] = True
 
-    _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir)
+    BRIDGE_PROF.clear()
+    with _prof("prebuild"):
+        _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir)
 
     out_fa = os.path.join(out_dir, "scaffold.full.fasta")
     n_types = [0, 0, 0, 0]
@@ -302,6 +329,10 @@ def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
                 mark[rc] = True
     log.info("bridging done: dump=%d trivial=%d path=%d no-path=%d",
              n_types[0], n_types[1], n_types[2], n_types[3])
+    if BRIDGE_PROF:
+        log.info("bridge phase walls: %s",
+                 " ".join(f"{k}={v:.1f}s" for k, v in
+                          sorted(BRIDGE_PROF.items(), key=lambda x: -x[1])))
     return out_fa
 
 
@@ -382,18 +413,21 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
 def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):
     cache = _local_cache_path(cfg, g, e1, e2, out_dir)
     lg = None
-    if os.path.exists(cache):
-        lg = asmg.load_graph(cache)
-    else:
-        lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2)
-        if lg is not None:
-            os.makedirs(os.path.dirname(cache), exist_ok=True)
-            asmg.save_graph(lg, cache)
+    with _prof("load_or_build_graph"):
+        if os.path.exists(cache):
+            lg = asmg.load_graph(cache)
+        else:
+            lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2)
+            if lg is not None:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                asmg.save_graph(lg, cache)
     if lg is None or lg.n_e == 0:
         return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, e1, e2)
-    emap1 = L.get_local_edge_head(g, lg, e1)
-    emap2 = L.get_local_edge_tail(g, lg, e2)
-    local_reads = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
+    with _prof("flank_map"):
+        emap1 = L.get_local_edge_head(g, lg, e1)
+        emap2 = L.get_local_edge_tail(g, lg, e2)
+    with _prof("fetch_reads"):
+        local_reads = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
     return try_bridging(cfg, g, lg, scaffolds, emap1, emap2, local_reads)
 
 

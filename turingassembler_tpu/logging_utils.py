@@ -16,19 +16,32 @@ import time
 from typing import Optional
 
 _STAGE = {"name": "init", "t0": time.time()}
+_STAGE_WALLS: dict = {}
 _LOGGER: Optional[logging.Logger] = None
 
 
 def set_log_stage(name: str) -> None:
     """Switch the pipeline stage label; logs the wall-clock of the stage
     being left (reference per-stage clock, src/time_utils.c used at every
-    process.c phase, e.g. process.c:59-65)."""
+    process.c phase, e.g. process.c:59-65) and accumulates it for
+    stage_walls() reports."""
     now = time.time()
     prev = _STAGE["name"]
-    if prev not in ("init", name) and _LOGGER is not None:
-        _LOGGER.info("stage '%s' done in %.1fs", prev, now - _STAGE["t0"])
+    if prev not in ("init", name):
+        _STAGE_WALLS[prev] = _STAGE_WALLS.get(prev, 0.0) + (now - _STAGE["t0"])
+        if _LOGGER is not None:
+            _LOGGER.info("stage '%s' done in %.1fs", prev, now - _STAGE["t0"])
     _STAGE["name"] = name
     _STAGE["t0"] = now
+
+
+def stage_walls() -> dict:
+    """Accumulated seconds per pipeline stage since the last reset."""
+    return dict(_STAGE_WALLS)
+
+
+def reset_stage_walls() -> None:
+    _STAGE_WALLS.clear()
 
 
 class _StageFormatter(logging.Formatter):

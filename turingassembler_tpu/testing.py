@@ -104,6 +104,79 @@ def sim_barcoded_pairs(
     return r1, r2, lengths, lengths.copy(), np.asarray(bcs, np.int64)
 
 
+def sim_barcoded_pairs_fast(
+    genome: np.ndarray,
+    molecule_len: int = 20000,
+    n_molecules: int = 300,
+    reads_per_molecule: int = 60,
+    read_len: int = 100,
+    insert: int = 300,
+    seed: int = 0,
+    error_rate: float = 0.0,
+    collision_rate: float = 0.0,
+    chimera_rate: float = 0.0,
+):
+    """Vectorized linked-read simulator (same distributional semantics
+    as sim_barcoded_pairs, no per-read python loop) with two harsher
+    real-read-cloud features (VERDICT r4 #8):
+
+      collision_rate  fraction of molecules whose barcode is REUSED
+                      from another random molecule (real TELL-Seq/10X
+                      libraries put several molecules on one barcode —
+                      the reference's barcode tables see exactly this);
+      chimera_rate    fraction of molecules whose second half of reads
+                      comes from a DIFFERENT random locus under the
+                      same barcode (chimeric molecule / GEM artifact).
+
+    Returns (r1, r2, lengths1, lengths2, barcodes)."""
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    mstart = rng.integers(0, max(G - molecule_len, 1) + 1, n_molecules)
+    mlen = np.minimum(molecule_len, G - mstart)
+    ok = mlen >= insert + 1
+    mstart, mlen = mstart[ok], mlen[ok]
+    mol_ids = np.flatnonzero(ok)
+    M = len(mstart)
+    R = reads_per_molecule
+
+    bc_of_mol = mol_ids.copy()
+    if collision_rate > 0 and M > 1:
+        hit = rng.random(M) < collision_rate
+        bc_of_mol[hit] = bc_of_mol[rng.integers(0, M, int(hit.sum()))]
+
+    span = (mlen - insert + 1).astype(np.int64)
+    starts = mstart[:, None] + (rng.random((M, R)) * span[:, None]).astype(np.int64)
+    if chimera_rate > 0 and M > 1:
+        chim = rng.random(M) < chimera_rate
+        n_c = int(chim.sum())
+        if n_c:
+            alt = rng.integers(0, max(G - molecule_len, 1) + 1, n_c)
+            alt_len = np.minimum(molecule_len, G - alt)
+            keep = alt_len >= insert + 1
+            alt_span = (alt_len - insert + 1).astype(np.int64)
+            half = R // 2
+            alt_starts = alt[:, None] + (
+                rng.random((n_c, R - half)) * alt_span[:, None]).astype(np.int64)
+            rows = np.flatnonzero(chim)[keep]
+            starts[rows, half:] = alt_starts[keep]
+    starts = starts.ravel()
+    bcs = np.repeat(bc_of_mol, R)
+    N = len(starts)
+
+    frag = genome[starts[:, None] + np.arange(insert)[None, :]]
+    fwd = np.ascontiguousarray(frag[:, :read_len])
+    rev = np.ascontiguousarray((3 - frag)[:, ::-1][:, :read_len])
+    swap = rng.random(N) < 0.5
+    r1 = np.where(swap[:, None], rev, fwd).astype(np.uint8)
+    r2 = np.where(swap[:, None], fwd, rev).astype(np.uint8)
+    if error_rate > 0:
+        for arr in (r1, r2):
+            errs = rng.random(arr.shape) < error_rate
+            arr[errs] = (arr[errs] + rng.integers(1, 4, int(errs.sum()))) % 4
+    lengths = np.full(N, read_len, np.int32)
+    return r1, r2, lengths, lengths.copy(), bcs.astype(np.int64)
+
+
 def gc_skewed_genome(n: int, gc: float = 0.65, seed: int = 0) -> np.ndarray:
     """Genome with biased base composition (real genomes are not
     uniform; E. coli is ~0.51 GC, some bacteria 0.25-0.75)."""
