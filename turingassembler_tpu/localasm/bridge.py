@@ -167,6 +167,27 @@ def score_paths(lg: AsmGraph, paths: List[List[int]], reads: np.ndarray,
     n_paths = len(paths)
     if n_paths == 0:
         return -1
+    # per-gap scoring jobs are tiny and shape-diverse: on a TPU session
+    # they would pay tunnel latency + a fresh compile per candidate
+    # shape (the r4 TPU bridge ran ~1x the CPU bridge for exactly this
+    # reason) — pin them to the host CPU backend
+    import contextlib
+    import jax
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "cpu":
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    with ctx:
+        return _score_paths_impl(lg, paths, reads, lengths, n1)
+
+
+def _score_paths_impl(lg: AsmGraph, paths: List[List[int]], reads: np.ndarray,
+                      lengths: np.ndarray, n1: int) -> int:
+    from ..io.fastq import NT4
+    from ..mapper.minimizers import rescore_hits
+    n_paths = len(paths)
     seqs = []
     for p in paths:
         s = NT4[np.frombuffer(path_center_seq(lg, p).encode(), np.uint8)]
@@ -300,23 +321,43 @@ def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
 
     BRIDGE_PROF.clear()
     with _prof("prebuild"):
-        _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir)
+        lg_mem, reads_mem = _prebuild_local_graphs(cfg, g, rpath, bc_index,
+                                                   paths, cov, out_dir)
+
+    # per-gap bridging fans out over the thread pool (the reference's
+    # build_bridge_iterator xT, src/build_bridge.c:842-946,952-1017);
+    # gaps are independent, so computing them concurrently and writing
+    # in path order is byte-identical to the sequential loop
+    jobs = []                            # (pi, j, e1, e2, dump_only)
+    for pi, p in enumerate(paths):
+        for j in range(1, len(p)):
+            e1, e2 = p[j - 1], p[j]
+            dump = cov[e1] > MIN_PROCESS_COV or cov[e2] > MIN_PROCESS_COV
+            jobs.append((pi, j, e1, e2, dump))
+
+    def _work(job):
+        pi, j, e1, e2, dump = job
+        if dump:
+            return BRIDGE_LOCAL_NOT_FOUND, join_bridge_dump(g, e1, e2)
+        return _bridge_pair(cfg, g, rpath, bc_index, paths[pi], e1, e2,
+                            out_dir, lg_mem, reads_mem)
+
+    from concurrent.futures import ThreadPoolExecutor
+    if len(jobs) > 1 and cfg.n_threads > 1:
+        with ThreadPoolExecutor(max_workers=cfg.n_threads) as ex:
+            results = list(ex.map(_work, jobs))
+    else:
+        results = [_work(jb) for jb in jobs]
 
     out_fa = os.path.join(out_dir, "scaffold.full.fasta")
     n_types = [0, 0, 0, 0]
+    by_gap = {}
+    for (pi, j, _, _, _), (res, seq) in zip(jobs, results):
+        n_types[res] += 1
+        by_gap[(pi, j)] = seq
     with open(out_fa, "w") as f:
         for pi, p in enumerate(paths):
-            bridged: List[str] = []
-            for j in range(1, len(p)):
-                e1, e2 = p[j - 1], p[j]
-                if cov[e1] > MIN_PROCESS_COV or cov[e2] > MIN_PROCESS_COV:
-                    seq = join_bridge_dump(g, e1, e2)
-                    n_types[BRIDGE_LOCAL_NOT_FOUND] += 1
-                else:
-                    res, seq = _bridge_pair(cfg, g, rpath, bc_index, p, e1, e2,
-                                            out_dir)
-                    n_types[res] += 1
-                bridged.append(seq)
+            bridged = [by_gap[(pi, j)] for j in range(1, len(p))]
             f.write(f">contig_{pi}\n")
             f.write(_merge_bridges(g, p, bridged))
             f.write("\n")
@@ -353,8 +394,9 @@ def prebuild_local_graphs_striped(cfg, g: AsmGraph, rpath: ReadPath,
     paths = parse_scaffold_paths(scaffold_path_file)
     bc_index = load_barcode_index(rpath.idx_path)
     cov = g.edge_cov()
-    return _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov,
-                                  out_dir, stripe=stripe)
+    lg_mem, _ = _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov,
+                                       out_dir, stripe=stripe)
+    return len(lg_mem)
 
 
 def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
@@ -362,8 +404,15 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
     """Task-parallel per-gap local assemblies (reference thread-pool
     driver build_bridge_iterator xT, src/build_bridge.c:898-903,952).
     Each gap is independent; cfg.n_threads (-t) bounds the pool.  The
-    bridging loop afterwards hits the per-pair cache dirs, so outputs
-    are identical to the sequential order."""
+    bridging loop afterwards hits the per-pair caches, so outputs are
+    identical to the sequential order.
+
+    Returns (lg_mem, reads_mem): the built graphs and fetched read sets
+    keyed by cache path, so the bridging loop neither re-reads the
+    graph from disk nor re-fetches the same barcode read sets (the
+    double fetch was ~15% of the stage at E. coli scale)."""
+    lg_mem: Dict[str, AsmGraph] = {}
+    reads_mem: Dict[str, tuple] = {}
     jobs = {}
     for p in paths:
         for j in range(1, len(p)):
@@ -377,10 +426,8 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
         pid, n = stripe
         jobs = {c: j for i, (c, j) in enumerate(sorted(jobs.items()))
                 if i % n == pid}
-    if (len(jobs) < 2 or cfg.n_threads < 2) and stripe is None:
-        return 0
     if not jobs:
-        return 0
+        return lg_mem, reads_mem
 
     # batched counting: every gap's canonical (k+1)-mers go through ONE
     # sort pass keyed by a gap-id column (count_kedges_multi, SURVEY
@@ -391,6 +438,7 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
     read_sets = []
     for cache, (e1, e2) in items:
         got = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
+        reads_mem[cache] = got
         read_sets.append(None if got is None else (got[0], got[1]))
     tables = L.count_kedges_multi(read_sets, cfg.lk)
 
@@ -403,20 +451,25 @@ def _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov, out_dir,
         if lg is not None:
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             asmg.save_graph(lg, cache)
+            lg_mem[cache] = lg
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=max(cfg.n_threads, 1)) as ex:
         list(ex.map(build_one, range(len(items))))
-    return len(items)
+    return lg_mem, reads_mem
 
 
-def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):
+def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir,
+                 lg_mem=None, reads_mem=None):
     cache = _local_cache_path(cfg, g, e1, e2, out_dir)
-    lg = None
+    # pop, not get: try_bridging's filters tombstone lg in place, so a
+    # duplicate (e1, e2) job must reload a fresh copy from disk exactly
+    # as the sequential loop did
+    lg = lg_mem.pop(cache, None) if lg_mem else None
     with _prof("load_or_build_graph"):
-        if os.path.exists(cache):
+        if lg is None and os.path.exists(cache):
             lg = asmg.load_graph(cache)
-        else:
+        elif lg is None:
             lg = L.build_local_graph(cfg, g, rpath, bc_index, e1, e2)
             if lg is not None:
                 os.makedirs(os.path.dirname(cache), exist_ok=True)
@@ -426,8 +479,11 @@ def _bridge_pair(cfg, g, rpath, bc_index, scaffolds, e1, e2, out_dir):
     with _prof("flank_map"):
         emap1 = L.get_local_edge_head(g, lg, e1)
         emap2 = L.get_local_edge_tail(g, lg, e2)
-    with _prof("fetch_reads"):
-        local_reads = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
+    if reads_mem is not None and cache in reads_mem:
+        local_reads = reads_mem[cache]
+    else:
+        with _prof("fetch_reads"):
+            local_reads = L.local_reads_for_pair(g, rpath, bc_index, e1, e2)
     return try_bridging(cfg, g, lg, scaffolds, emap1, emap2, local_reads)
 
 
