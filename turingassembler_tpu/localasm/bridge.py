@@ -320,6 +320,7 @@ def build_bridge(cfg: Config, g: AsmGraph, rpath: ReadPath,
             mark[e] = mark[int(g.edge_rc[e])] = True
 
     BRIDGE_PROF.clear()
+    L.clear_global_window_cache()   # window tables key on THIS g's edge ids
     with _prof("prebuild"):
         lg_mem, reads_mem = _prebuild_local_graphs(cfg, g, rpath, bc_index,
                                                    paths, cov, out_dir)
@@ -394,6 +395,7 @@ def prebuild_local_graphs_striped(cfg, g: AsmGraph, rpath: ReadPath,
     paths = parse_scaffold_paths(scaffold_path_file)
     bc_index = load_barcode_index(rpath.idx_path)
     cov = g.edge_cov()
+    L.clear_global_window_cache()
     lg_mem, _ = _prebuild_local_graphs(cfg, g, rpath, bc_index, paths, cov,
                                        out_dir, stripe=stripe)
     return len(lg_mem)

@@ -442,6 +442,18 @@ def _hash_void_keys(keys: np.ndarray, k: int) -> np.ndarray:
 
 _EDGE_TABLE_CACHE: dict = {}   # seq-bytes fingerprint -> (keys, counts)
 
+# window k-mer tables of GLOBAL contigs, keyed by (gkey, window pos):
+# every gap's filters + flank maps re-scan the same scaffold contigs
+# (8+ MapContig scans per gap at E. coli scale -> the same Mb contig's
+# window tables were rebuilt ~100x; they only depend on the global
+# graph, which is fixed for the whole bridge stage).  Cleared by
+# clear_global_window_cache() at each build_bridge entry.
+_GWIN_CACHE: dict = {}
+
+
+def clear_global_window_cache() -> None:
+    _GWIN_CACHE.clear()
+
 
 def _seq_kmer_table_cached(seq: np.ndarray, k: int):
     """_seq_kmer_table with a cross-graph cache keyed on the sequence
@@ -537,15 +549,33 @@ class MapContig:
     same points formula and first-qualifying-edge (lowest id) result as
     the per-edge loop it replaces."""
 
-    def __init__(self, global_seq: np.ndarray, lg: AsmGraph):
+    def __init__(self, global_seq: np.ndarray, lg: AsmGraph,
+                 gkey=None):
         self.gseq = global_seq
         self.lg = lg
+        self.gkey = gkey   # identity of global_seq for the window cache
         (self.ukeys, self.uoff, self.edge_arr, self.cnt_arr,
          self.eligible, self.uhash_sorted) = _lg_union_kmer_table(lg)
         self.is_match = np.zeros(lg.n_e, bool)
         self.best_match = -1
         self.best_window = -1
         self._window_memo = {}
+
+    def _window_table(self, pos: int, length: int):
+        """(wkeys, wcnt, whash) of the global window at pos — cached
+        across MapContig instances when the caller supplied a gkey."""
+        if self.gkey is not None:
+            hit = _GWIN_CACHE.get((self.gkey, pos))
+            if hit is not None:
+                return hit
+        wkeys, wcnt = _seq_kmer_table(self.gseq[pos : pos + length],
+                                      MAP_KSIZE)
+        wh = (_hash_void_keys(wkeys, MAP_KSIZE) if len(wkeys)
+              else np.zeros(0, np.uint64))
+        out = (wkeys, wcnt, wh)
+        if self.gkey is not None:
+            _GWIN_CACHE[(self.gkey, pos)] = out
+        return out
 
     def _match_window(self, pos: int) -> int:
         hit = self._window_memo.get(pos)
@@ -586,8 +616,7 @@ class MapContig:
             return -1
         if len(self.ukeys) == 0:
             return -1
-        wkeys, wcnt = _seq_kmer_table(self.gseq[pos : pos + length],
-                                      MAP_KSIZE)
+        wkeys, wcnt, wh = self._window_table(pos, length)
         if not len(wkeys):
             return -1
         n_wk = max(1, length - MAP_KSIZE + 1)
@@ -596,7 +625,6 @@ class MapContig:
             # full-key compare below rejects any query whose hash
             # matches but whose key differs, and the table is
             # pre-checked collision-free, so this is exact
-            wh = _hash_void_keys(wkeys, MAP_KSIZE)
             idx = np.searchsorted(self.uhash_sorted, wh)
             idx[idx >= len(self.uhash_sorted)] = \
                 len(self.uhash_sorted) - 1
@@ -688,7 +716,8 @@ def get_local_edge_head(g: AsmGraph, lg: AsmGraph, e_id: int) -> EdgeMap:
     mirrors coordinates)."""
     emap = EdgeMap(gl_e=e_id)
     e_rc = int(g.edge_rc[e_id])
-    mct = MapContig(g.get_seq(e_rc), lg)
+    mct = MapContig(g.get_seq(e_rc), lg,
+                    gkey=("ge", e_rc, int(g.edge_len(e_rc))))
     emap.lc_e = mct.find_match()
     if emap.lc_e == -1:
         return emap
@@ -711,7 +740,8 @@ def get_local_edge_head(g: AsmGraph, lg: AsmGraph, e_id: int) -> EdgeMap:
 
 def get_local_edge_tail(g: AsmGraph, lg: AsmGraph, e_id: int) -> EdgeMap:
     emap = EdgeMap(gl_e=e_id)
-    mct = MapContig(g.get_seq(e_id), lg)
+    mct = MapContig(g.get_seq(e_id), lg,
+                    gkey=("ge", e_id, int(g.edge_len(e_id))))
     emap.lc_e = mct.find_match()
     if emap.lc_e == -1:
         return emap
@@ -751,7 +781,9 @@ def unrelated_filter(g: AsmGraph, lg: AsmGraph, emap1: EdgeMap, emap2: EdgeMap,
                      scaffolds: List[int]) -> Tuple[AsmGraph, EdgeMap, EdgeMap]:
     bad = np.zeros(lg.n_e, bool)
     for c in scaffolds:
-        mct = MapContig(g.get_seq(int(c)), lg)
+        c = int(c)
+        mct = MapContig(g.get_seq(c), lg,
+                        gkey=("ge", c, int(g.edge_len(c))))
         mct.find_match()
         for j in range(lg.n_e):
             rc = int(lg.edge_rc[j]) if lg.edge_rc[j] >= 0 else j
