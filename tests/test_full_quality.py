@@ -49,6 +49,13 @@ def test_repeat_genome_gapless_through_assembly3(tmp_path):
     assert res.genome_fraction > 0.97
     # repeats must be bridged: NGA50 close to the full genome
     assert res.nga50 >= 0.9 * len(genome), res
+    # residual-error parity (VERDICT r4 #3): the simulated library's
+    # substitution errors (error_rate=0.002, ~37x) must wash out in the
+    # consensus to at or below the reference's published real-data
+    # residuals (5.65 mismatches / 0.47 indel bases per 100 kbp,
+    # /root/reference/README.md:13-15)
+    assert res.mismatches_per_100kbp <= 5.65, res
+    assert res.indels_per_100kbp <= 0.47, res
 
 
 @pytest.mark.slow
@@ -98,6 +105,53 @@ def test_1mbp_repeat_family_gapless_through_assembly3(tmp_path):
     assert res.n_misassemblies == 0
     assert res.genome_fraction > 0.97
     assert res.nga50 >= 0.9 * len(genome), res
+    # residual-error parity (VERDICT r4 #3): the simulated library's
+    # substitution errors (error_rate=0.002, ~37x) must wash out in the
+    # consensus to at or below the reference's published real-data
+    # residuals (5.65 mismatches / 0.47 indel bases per 100 kbp,
+    # /root/reference/README.md:13-15)
+    assert res.mismatches_per_100kbp <= 5.65, res
+    assert res.indels_per_100kbp <= 0.47, res
+
+
+@pytest.mark.slow
+def test_harsh_read_cloud_gapless_through_assembly3(tmp_path):
+    """Harsher real-read-cloud proxy (VERDICT r4 #8): 0.5% substitution
+    errors, 10% barcode collisions (two molecules, one barcode — real
+    TELL-Seq/10X put several molecules per barcode), and 3% chimeric
+    molecules (GEM artifacts).  The repeat-planted genome must still
+    come out gapless with 0 misassemblies — the cheapest available
+    stand-in for the missing real-data risk (VERDICT r4 missing #2)."""
+    rng = np.random.default_rng(55)
+    genome = rng.integers(0, 4, 100_000).astype(np.uint8)
+    rep = rng.integers(0, 4, 700).astype(np.uint8)
+    for pos in (25_000, 60_000):
+        genome[pos : pos + 700] = rep
+
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs_fast(
+        genome, molecule_len=12_000, n_molecules=2500,
+        reads_per_molecule=20, read_len=120, insert=300, seed=3,
+        error_rate=0.005, collision_rate=0.10, chimera_rate=0.03)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    f1, f2, fI = (str(tmp_path / n) for n in ["R1.fq", "R2.fq", "I1.fq"])
+    with open(f1, "w") as o1, open(f2, "w") as o2, open(fI, "w") as oI:
+        for i in range(len(r1)):
+            o1.write(f"@r{i}\n{ACGT[r1[i]].tobytes().decode()}\n+\n{'I'*120}\n")
+            o2.write(f"@r{i}\n{ACGT[r2[i]].tobytes().decode()}\n+\n{'I'*120}\n")
+            oI.write(f"@r{i}\n{encode_barcode(int(bcs[i])+1,16).decode()}\n+\n{'I'*16}\n")
+
+    out = str(tmp_path / "out")
+    rc = cli_main(["assembly3", "-1", f1, "-2", f2, "-I", fI,
+                   "-l", "ust", "-k0", "45", "-mc", "2", "-o", out])
+    assert rc == 0
+    final = os.path.join(out, "scaffold.full.fasta")
+    contigs = [s for _, s in read_fasta(final)]
+    res = evaluate_assembly(contigs, tt.codes_to_str(genome))
+    assert res.n_misassemblies == 0
+    assert res.genome_fraction > 0.97
+    assert res.nga50 >= 0.9 * len(genome), res
+    assert res.mismatches_per_100kbp <= 5.65, res
+    assert res.indels_per_100kbp <= 0.47, res
 
 
 @pytest.mark.slow
@@ -137,3 +191,10 @@ def test_k63_repeat_genome_gapless_through_assembly3(tmp_path):
     assert res.n_misassemblies == 0
     assert res.genome_fraction > 0.97
     assert res.nga50 >= 0.9 * len(genome), res
+    # residual-error parity (VERDICT r4 #3): the simulated library's
+    # substitution errors (error_rate=0.002, ~37x) must wash out in the
+    # consensus to at or below the reference's published real-data
+    # residuals (5.65 mismatches / 0.47 indel bases per 100 kbp,
+    # /root/reference/README.md:13-15)
+    assert res.mismatches_per_100kbp <= 5.65, res
+    assert res.indels_per_100kbp <= 0.47, res
