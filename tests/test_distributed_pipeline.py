@@ -19,18 +19,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PROC = 2
 
 
-def _library(tmp):
+def _library(tmp, genome_size=60_000, n_molecules=1000):
     sys.path.insert(0, ROOT)
     from turingassembler_tpu import testing as tt
     from turingassembler_tpu.io.fastq import encode_barcode
 
     rng = np.random.default_rng(77)
-    genome = rng.integers(0, 4, 60_000).astype(np.uint8)
+    genome = rng.integers(0, 4, genome_size).astype(np.uint8)
     rep = rng.integers(0, 4, 700).astype(np.uint8)
-    for pos in (15_000, 40_000):
+    for frac in (0.25, 0.66):
+        pos = int(frac * genome_size)
         genome[pos : pos + 700] = rep
-    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs(
-        genome, molecule_len=12_000, n_molecules=1000,
+    r1, r2, l1, l2, bcs = tt.sim_barcoded_pairs_fast(
+        genome, molecule_len=12_000, n_molecules=n_molecules,
         reads_per_molecule=16, read_len=120, insert=300, seed=2,
         error_rate=0.002)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
@@ -46,14 +47,12 @@ def _library(tmp):
     return genome, f1, f2, fI
 
 
-@pytest.mark.slow
-def test_two_process_assembly3(tmp_path):
+def _run_assembly3_nproc(tmp, genome, f1, f2, fI, n_proc, timeout=1800):
+    """Single-process run + n_proc distributed run on the same inputs;
+    asserts byte-identity and the quality gate.  Returns the contigs."""
     from turingassembler_tpu import testing as tt
     from turingassembler_tpu.evaluate import evaluate_assembly
     from turingassembler_tpu.io.fasta import read_fasta
-
-    tmp = str(tmp_path)
-    genome, f1, f2, fI = _library(tmp)
 
     env_base = {**os.environ, "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
@@ -64,10 +63,11 @@ def test_two_process_assembly3(tmp_path):
         [sys.executable, "-m", "turingassembler_tpu", "assembly3",
          "-1", f1, "-2", f2, "-I", fI, "-l", "ust", "-k0", "45",
          "-mc", "2", "-o", out1],
-        env=env_base, cwd=ROOT, capture_output=True, text=True, timeout=900)
+        env=env_base, cwd=ROOT, capture_output=True, text=True,
+        timeout=timeout)
     assert p.returncode == 0, p.stdout + p.stderr
 
-    # 2-process run over the same inputs
+    # n-process run over the same inputs
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -77,12 +77,12 @@ def test_two_process_assembly3(tmp_path):
          "-1", f1, "-2", f2, "-I", fI, "-l", "ust", "-k0", "45",
          "-mc", "2", "-o", out2,
          "--dist-coordinator", f"localhost:{port}",
-         "--dist-nproc", str(N_PROC), "--dist-pid", str(i)],
+         "--dist-nproc", str(n_proc), "--dist-pid", str(i)],
         env=env_base, cwd=ROOT, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT) for i in range(N_PROC)]
+        stderr=subprocess.STDOUT) for i in range(n_proc)]
     outs = []
     for pr in procs:
-        out, _ = pr.communicate(timeout=900)
+        out, _ = pr.communicate(timeout=timeout)
         outs.append(out.decode(errors="replace"))
     for i, pr in enumerate(procs):
         assert pr.returncode == 0, f"rank {i} failed:\n{outs[i][-4000:]}"
@@ -93,10 +93,39 @@ def test_two_process_assembly3(tmp_path):
     c1 = sorted(s for _, s in read_fasta(fa1))
     c2 = sorted(s for _, s in read_fasta(fa2))
     assert c1 == c2, (
-        f"single vs 2-process assemblies differ: "
+        f"single vs {n_proc}-process assemblies differ: "
         f"{[len(s) for s in c1]} vs {[len(s) for s in c2]}")
     # and both must pass the quality gate
     res = evaluate_assembly([s for s in c2 if len(s) >= 500],
                             tt.codes_to_str(genome))
     assert res.n_misassemblies == 0
     assert res.nga50 >= 0.9 * len(genome), res
+    return c2
+
+
+@pytest.mark.slow
+def test_two_process_assembly3(tmp_path):
+    tmp = str(tmp_path)
+    genome, f1, f2, fI = _library(tmp)
+    _run_assembly3_nproc(tmp, genome, f1, f2, fI, 2)
+
+
+@pytest.mark.slow
+def test_four_process_assembly3(tmp_path):
+    """4-rank variant (VERDICT r4 #6): stripes of 4 over counting, rp
+    map, aux map, and gap prebuild must still merge to the identical
+    assembly."""
+    tmp = str(tmp_path)
+    genome, f1, f2, fI = _library(tmp)
+    _run_assembly3_nproc(tmp, genome, f1, f2, fI, 4)
+
+
+@pytest.mark.slow
+def test_two_process_assembly3_1mbp(tmp_path):
+    """Megabase-scale distributed byte-identity (VERDICT r4 #6: the
+    60 kb identity said little about shard imbalance / merge cost at
+    scale).  1 Mbp genome, ~208k pairs, 2 OS processes."""
+    tmp = str(tmp_path)
+    genome, f1, f2, fI = _library(tmp, genome_size=1_000_000,
+                                  n_molecules=13_000)
+    _run_assembly3_nproc(tmp, genome, f1, f2, fI, 2, timeout=2700)
