@@ -138,7 +138,30 @@ def main():
     # host heap working set once so the timed pass is steady-state
     t_start = time.time()
     _, _, _, (g_asm, recs_asm) = run_once()
-    log(f"compile+warmup: {time.time()-t_start:.1f}s")
+    t_compile = time.time() - t_start
+    log(f"compile+warmup: {t_compile:.1f}s")
+
+    # tunnel weather probe (VERDICT r4 #9): this rig's host<->device
+    # relay swings 4-450 MB/s between sessions, which dominates
+    # round-over-round deltas; record the measured bandwidth WITH the
+    # result so a regression reading is attributable without archaeology
+    weather = {}
+    if not cpu_fallback:
+        try:
+            probe = np.zeros(32 * 1024 * 1024, np.uint8)
+            d = jax.device_put(probe); d.block_until_ready()   # warm path
+            t0 = time.time()
+            d = jax.device_put(probe); d.block_until_ready()
+            h2d = probe.nbytes / (time.time() - t0) / 1e6
+            np.asarray(d)                                       # warm pull
+            t0 = time.time()
+            np.asarray(d)
+            d2h = probe.nbytes / (time.time() - t0) / 1e6
+            weather = {"h2d_MBps": round(h2d, 1), "d2h_MBps": round(d2h, 1)}
+            log(f"tunnel: h2d {h2d:.0f} MB/s, d2h {d2h:.0f} MB/s")
+            del d
+        except Exception as ex:
+            log(f"tunnel probe failed: {ex}")
 
     # best of up to 5 timed passes: the host<->device tunnel on this rig
     # has multi-second jitter between otherwise-identical runs AND
@@ -146,8 +169,11 @@ def main():
     # early if the time budget is burning so a JSON line always lands
     budget = float(os.environ.get("TA_BENCH_BUDGET_S", 480))
     best = None
+    count_passes, build_passes = [], []
     for i in range(5):
         t_count, t_build, n_uniq, (g, recs) = run_once()
+        count_passes.append(round(t_count, 2))
+        build_passes.append(round(t_build, 2))
         log(f"pass {i}: count {t_count:.2f}s + build {t_build:.2f}s"
             f"  ({n_uniq:,} unique (k+1)-mers, n_v={g.n_v}, n_e={g.n_e})")
         if best is None or t_count + t_build < best[0] + best[1]:
@@ -167,6 +193,7 @@ def main():
     # headline metric's scope between rounds (the count+build sub-metric
     # stays comparable either way, but the wide metric should too)
     t_map = None
+    map_passes = []
     if with_map:
         try:
             from turingassembler_tpu.mapper.minimizers import (
@@ -186,6 +213,7 @@ def main():
                 e, _, _ = map_reads(idx, reads, lengths, graph=g_asm,
                                     shipped=recs_asm, with_hits=False)
                 dt = time.time() - t0
+                map_passes.append(round(dt, 2))
                 log(f"map pass {i}: {n_reads} reads in {dt:.2f}s = "
                     f"{n_reads/dt:,.0f} reads/s "
                     f"({(e >= 0).mean()*100:.1f}% mapped, DP-verified, "
@@ -221,6 +249,15 @@ def main():
         if cpu_fallback:
             metric = ("reads/s (k45 count + level-0 DBG build, 150bp reads, "
                       "CPU FALLBACK - TPU backend unavailable)")
+    # weather context rides in the same line (VERDICT r4 #9): measured
+    # tunnel MB/s + full pass spreads + compile wall make a 0.93x
+    # reading distinguishable from a real regression
+    weather.update({
+        "compile_warmup_s": round(t_compile, 1),
+        "count_s": count_passes,
+        "build_s": build_passes,
+        "map_s": map_passes,
+    })
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),
@@ -228,6 +265,7 @@ def main():
         "vs_baseline": round(value / baseline, 3),
         "value_count_build": round(cb_value, 1),
         "vs_baseline_count_build": round(cb_value / cb_baseline, 3),
+        "weather": weather,
     }))
     prune_jax_cache(cache_marks)
 
