@@ -102,8 +102,6 @@ def main():
     # --- C: span-row gather + shift -> (S_cap, 7) ----------------------
     S_cap = 1 << 23
     starts = stageB(bnd)[:S_cap]
-    full_words = km._pack_windows(db, 160)  # pad? 152 not mult of 16;
-    # pack reads into (B, 10) words via k=152 single window
     @jax.jit
     def packreads(bb):
         return km._pack_windows(bb, 152)[:, 0, :]       # (B, 10)
