@@ -153,10 +153,14 @@ def main():
             t0 = time.time()
             d = jax.device_put(probe); d.block_until_ready()
             h2d = probe.nbytes / (time.time() - t0) / 1e6
-            np.asarray(d)                                       # warm pull
+            np.asarray(d)     # warm the pull path (first pull compiles)
+            # a fresh device array for the timed pull — re-pulling `d`
+            # would read jax's cached host copy, not the wire
+            d2 = jax.device_put(probe[::-1].copy()); d2.block_until_ready()
             t0 = time.time()
-            np.asarray(d)
+            np.asarray(d2)
             d2h = probe.nbytes / (time.time() - t0) / 1e6
+            del d2
             weather = {"h2d_MBps": round(h2d, 1), "d2h_MBps": round(d2h, 1)}
             log(f"tunnel: h2d {h2d:.0f} MB/s, d2h {d2h:.0f} MB/s")
             del d
