@@ -176,7 +176,31 @@ def test_small_indel_counted_as_indel_bases(genome):
 
 def test_scaffold_n_gap_not_misassembly(genome):
     """A 100-N scaffold gap spanning the true distance: colinear flanks,
-    no event (gap bases are indel-tallied at worst)."""
+    no event — and N columns are uncalled bases (QUAST posture), not
+    substitutions, so the gap contributes zero mismatches."""
     contig = genome[0:10_000] + "N" * 100 + genome[10_100:20_000]
     res = evaluate_assembly([contig], genome)
     assert res.n_misassemblies == 0
+    assert res.n_mismatches == 0
+
+
+def test_inverted_repeat_truth_no_phantom_events(genome):
+    """A truth genome carrying an inverted-repeat pair (S ... rc(S)): a
+    perfect contig over the rc(S) locus must NOT report phantom
+    inversions.  Requires strand-level anchor uniqueness — forward-only
+    dedup keeps both copies and anchors the contig to the wrong
+    strand."""
+    S = genome[5_000:7_000]
+    truth = genome[0:12_000] + _rc(S) + genome[12_000:20_000]
+    # perfect contig spanning the rc(S) region and flanks
+    contig = truth[9_000:18_000]
+    res = evaluate_assembly([contig], truth)
+    assert res.n_misassemblies == 0
+    assert res.n_inversions == 0
+    assert res.n_mismatches == 0
+    # and a REAL inversion in the same truth is still caught
+    bad = (truth[0:10_000] + _rc(truth[10_000:15_000])
+           + truth[15_000:20_000])
+    res2 = evaluate_assembly([bad], truth)
+    assert res2.n_misassemblies == 2
+    assert res2.n_inversions == 2

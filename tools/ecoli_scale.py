@@ -138,13 +138,32 @@ def main(argv=None):
     t0 = time.time()
     genome = build_genome(args.seed)
     f1 = os.path.join(args.out, "R1.fq")
+    params_path = os.path.join(args.out, "library_params.json")
     if args.keep_reads and os.path.exists(f1):
         paths = [os.path.join(args.out, n) for n in ("R1.fq", "R2.fq", "I1.fq")]
         n_pairs = sum(1 for _ in open(paths[0])) // 4
-        print(f"reusing {n_pairs:,} pairs in {args.out}", file=sys.stderr)
+        # the reused library was simulated with ITS OWN parameters —
+        # report those, not this invocation's flags (a --harsh
+        # --keep-reads over a default library must not publish a harsh
+        # dataset that was never simulated)
+        if os.path.exists(params_path):
+            saved = json.load(open(params_path))
+            error_rate = saved["error_rate"]
+            collision = saved["collision_rate"]
+            chimera = saved["chimera_rate"]
+        else:
+            print("WARNING: reused reads have no library_params.json; "
+                  "dataset labels may not match", file=sys.stderr)
+        print(f"reusing {n_pairs:,} pairs in {args.out} "
+              f"(error={error_rate}, collisions={collision}, "
+              f"chimera={chimera})", file=sys.stderr)
     else:
         paths, n_pairs = write_library(args.out, genome, error_rate,
                                        collision, chimera, args.seed + 1)
+        with open(params_path, "w") as f:
+            json.dump({"error_rate": error_rate,
+                       "collision_rate": collision,
+                       "chimera_rate": chimera, "seed": args.seed}, f)
         print(f"simulated {n_pairs:,} pairs "
               f"(error={error_rate}, collisions={collision}, "
               f"chimera={chimera}) in {time.time()-t0:.0f}s", file=sys.stderr)
@@ -189,7 +208,8 @@ def main(argv=None):
             "mismatches_per_100kbp": round(res.mismatches_per_100kbp, 3),
             "indels_per_100kbp": round(res.indels_per_100kbp, 3),
             "n_contigs": len(contigs),
-            "gapless": max(len(c) for c in contigs) >= 0.95 * GENOME_SIZE
+            "gapless": bool(contigs)
+                       and max(len(c) for c in contigs) >= 0.95 * GENOME_SIZE
                        and "N" not in max(contigs, key=len),
         },
         "reference_published": {
@@ -211,8 +231,9 @@ def main(argv=None):
     # collisions/chimeras), so its residual bound scales 2x (measured:
     # 7.18/100kbp at 0.5% errors vs 1.78 at 0.2% — the consensus still
     # compresses ~500 raw errors/100kbp by ~70x)
-    mm_bound = MISMATCH_BOUND_100KBP * (2.0 if args.harsh else 1.0)
-    ind_bound = INDEL_BOUND_100KBP * (2.0 if args.harsh else 1.0)
+    harsh_model = error_rate > 0.003 or collision > 0 or chimera > 0
+    mm_bound = MISMATCH_BOUND_100KBP * (2.0 if harsh_model else 1.0)
+    ind_bound = INDEL_BOUND_100KBP * (2.0 if harsh_model else 1.0)
     ok = (res.n_misassemblies == 0
           and res.genome_fraction >= 0.99
           and res.nga50 >= 0.9 * GENOME_SIZE

@@ -96,6 +96,22 @@ def main(argv=None):
     ap.add_argument("--keep-reads", action="store_true")
     args = ap.parse_args(argv)
 
+    # this main() is driven in-process by the suite: restore every env
+    # knob it touches so later tests keep their own budgets
+    _env_keys = ("TA_SORT_MEM_BYTES", "TA_SORT_HOST_MB", "TA_SPILL_DIR")
+    _env_saved = {k: os.environ.get(k) for k in _env_keys}
+    try:
+        return _run(args)
+    finally:
+        for k, v in _env_saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _run(args):
+
     from turingassembler_tpu import testing as tt
     from turingassembler_tpu.barcode.sort_read import (
         ReadPath, sort_reads, load_barcode_index, fetch_reads_by_barcodes,

@@ -91,10 +91,12 @@ def _normalize_records(genome: GenomeArg) -> List[Tuple[str, str]]:
 def _anchor_index(records: List[Tuple[str, str]],
                   k: int = ANCHOR_K) -> Dict[str, Tuple[int, int]]:
     """One combined k-mer -> (record id, position) index over ALL truth
-    records; k-mers appearing more than once ANYWHERE (within or across
-    records) are dropped, so every surviving anchor is globally unique
-    and an anchor run that jumps records is evidence of a translocated
-    join, not index ambiguity."""
+    records; k-mers appearing more than once ANYWHERE — on either
+    strand, within or across records — are dropped, so every surviving
+    anchor is globally unique and an anchor run that jumps records or
+    strands is evidence of a real event, not index ambiguity.  (Forward
+    -only dedup would keep both copies of an inverted repeat and anchor
+    a correct contig to the wrong strand.)"""
     seen: Dict[str, Tuple[int, int]] = {}
     dup = set()
     for rid, (_, g) in enumerate(records):
@@ -106,20 +108,31 @@ def _anchor_index(records: List[Tuple[str, str]],
                 seen[w] = (rid, i)
     for w in dup:
         del seen[w]
+    # strand-level uniqueness: if rc(w) also occurs anywhere, neither
+    # copy can serve as a strand-resolving anchor (k odd -> no
+    # palindromic k-mer equals its own rc)
+    drop = [w for w in seen if _rc(w) in seen]
+    for w in drop:
+        if w in seen:
+            del seen[w]
     return seen
 
 
-_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+_RC_TABLE = str.maketrans("ACGTN", "TGCAN")
 
 
 def _rc(s: str) -> str:
-    return "".join(_COMP.get(c, "N") for c in reversed(s))
+    return s.translate(_RC_TABLE)[::-1]
 
 
 def _hamming(a: str, b: str) -> int:
+    """Mismatch count over aligned columns; N columns (scaffold gap
+    fill, uncalled bases) are uncalled, not substitutions — QUAST's
+    posture."""
     aa = np.frombuffer(a.encode(), np.uint8)
     bb = np.frombuffer(b.encode(), np.uint8)
-    return int((aa != bb).sum())
+    n_code = ord("N")
+    return int(((aa != bb) & (aa != n_code) & (bb != n_code)).sum())
 
 
 def evaluate_assembly(contigs: List[str], genome: GenomeArg,

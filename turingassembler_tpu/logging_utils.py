@@ -27,9 +27,12 @@ def set_log_stage(name: str) -> None:
     stage_walls() reports."""
     now = time.time()
     prev = _STAGE["name"]
-    if prev not in ("init", name):
+    if prev != "init":
+        # accumulate even on a same-name re-entry (a re-asserted stage
+        # must not drop its elapsed interval); only the log line is
+        # suppressed for duplicates
         _STAGE_WALLS[prev] = _STAGE_WALLS.get(prev, 0.0) + (now - _STAGE["t0"])
-        if _LOGGER is not None:
+        if prev != name and _LOGGER is not None:
             _LOGGER.info("stage '%s' done in %.1fs", prev, now - _STAGE["t0"])
     _STAGE["name"] = name
     _STAGE["t0"] = now
