@@ -181,3 +181,27 @@ def test_evaluate_subcommand(tmp_path, capsys):
         f.write(f">bad\n{g[:5000] + g[20000:26000]}\n")
     assert cli_main(["evaluate", "-f", asm, "-ref", truth]) == 1
     assert cli_main(["evaluate"]) == 2        # missing args
+
+
+def test_evaluate_subcommand_multi_record(tmp_path, capsys):
+    """Multi-record truth runs ONE combined anchor index (ADVICE r4
+    medium): per-record fractions are reported and a contig chimeric
+    across records exits 1 as a translocation."""
+    g1 = tt.codes_to_str(tt.random_genome(30_000, seed=45))
+    g2 = tt.codes_to_str(tt.random_genome(25_000, seed=46))
+    truth = str(tmp_path / "truth.fasta")
+    asm = str(tmp_path / "asm.fasta")
+    with open(truth, "w") as f:
+        f.write(f">chr1\n{g1}\n>chr2\n{g2}\n")
+    with open(asm, "w") as f:
+        f.write(f">c1\n{g1}\n>c2\n{g2[:20000]}\n")
+    assert cli_main(["evaluate", "-f", asm, "-ref", truth]) == 0
+    out = capsys.readouterr().out
+    assert "chr1: fraction 1.000" in out
+    assert "chr2: fraction 0.800" in out
+
+    with open(asm, "w") as f:                 # inter-record chimera
+        f.write(f">bad\n{g1[:10000] + g2[5000:15000]}\n")
+    assert cli_main(["evaluate", "-f", asm, "-ref", truth]) == 1
+    out = capsys.readouterr().out
+    assert "translocations=1" in out
