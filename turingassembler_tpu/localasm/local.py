@@ -771,6 +771,20 @@ def _condense_check_degenerate(g, lg, emap1, emap2):
     """Condense unless the two flanks collapse onto one local edge
     (reference condense_check_degenerate)."""
     lg1 = asm_condense(lg)
+    # identity condense (typical for the 2nd/3rd filter of a gap whose
+    # first filter already settled the graph): the existing flank maps
+    # are still exact, so skip the two full-contig remap scans — they
+    # were the bridge stage's largest remaining cost after the window
+    # cache (conservative array-equality check; any renumbering falls
+    # through to the remap)
+    if (lg1.n_e == lg.n_e and lg1.n_v == lg.n_v
+            and len(lg1.seq_data) == len(lg.seq_data)
+            and np.array_equal(lg1.seq_off, lg.seq_off)
+            and np.array_equal(lg1.edge_source, lg.edge_source)
+            and np.array_equal(lg1.edge_target, lg.edge_target)
+            and np.array_equal(lg1.edge_rc, lg.edge_rc)
+            and np.array_equal(lg1.seq_data, lg.seq_data)):
+        return lg, emap1, emap2
     m1, m2 = _remap(g, lg1, emap1, emap2)
     if m1.lc_e == -1 or m2.lc_e == -1:
         return lg, emap1, emap2  # degenerate; keep original
